@@ -1,0 +1,246 @@
+"""Monte-Carlo evaluation engine: vmap(scan(fused step)) over worlds.
+
+This is where the reference's whole process graph collapses: sim_node's truth
+propagation + sensing (sim_node.py:209-250), localization_node's
+queue-pop-one-pair-per-tick driver (localization_node.cpp:108-140, including
+the secondary-filter coupling for pose-graph SLAM), and the plotter's error
+accumulation (plotting_node.py:195-218) all fuse into ONE pure function
+`step(carry, cmd_and_key)` executed under `lax.scan`, then `vmap`-ed over a
+batch of independent worlds and shardable over a device mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.types import WorldState
+from live_ekf_slam_tpu.models import ekf, naive, posegraph, ukf
+from live_ekf_slam_tpu.sim import maps as sim_maps
+from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
+from live_ekf_slam_tpu.sim.world import init_world, sim_step
+
+ONLINE_FILTERS = ("ekf_slam", "ukf_loc", "ukf_slam", "naive")
+
+
+@struct.dataclass
+class RunCarry:
+    world: WorldState
+    primary: Any
+    secondary: Any          # None unless primary is pose_graph
+    err_sum_primary: jnp.ndarray
+    err_sum_secondary: jnp.ndarray
+
+
+def _filter_init(cfg: Config, name: str, init_pose=None):
+    if name == "ekf_slam":
+        return ekf.init(cfg, init_pose)
+    if name == "ukf_slam":
+        return ukf.init(cfg, slam=True, init_pose=init_pose)
+    if name == "ukf_loc":
+        return ukf.init(cfg, slam=False, init_pose=init_pose)
+    if name == "naive":
+        return naive.init(cfg, init_pose)
+    if name == "pose_graph":
+        return posegraph.init(cfg, init_pose)
+    raise ValueError(f"Invalid filter choice {name!r} (params.yaml:11)")
+
+
+def _filter_update(cfg: Config, name: str, state, cmd, meas, true_map=None):
+    if name == "ekf_slam":
+        return ekf.update(cfg, state, cmd, meas)
+    if name == "ukf_slam":
+        return ukf.update(cfg, state, cmd, meas, slam=True)
+    if name == "ukf_loc":
+        return ukf.update(cfg, state, cmd, meas, slam=False, true_map=true_map)
+    if name == "naive":
+        return naive.update(cfg, state, cmd, meas)
+    raise ValueError(name)
+
+
+def _filter_pose(name: str, state):
+    if name == "ekf_slam":
+        return ekf.pose(state)
+    if name in ("ukf_slam", "ukf_loc"):
+        return ukf.pose(state)
+    if name == "naive":
+        return state.pose
+    raise ValueError(name)
+
+
+def _filter_state_vector(cfg: Config, name: str, state):
+    if name == "ekf_slam":
+        return ekf.state_vector(state)
+    if name == "ukf_slam":
+        return ukf.state_vector(cfg, state, slam=True)
+    if name == "ukf_loc":
+        return ukf.state_vector(cfg, state, slam=False)
+    if name == "naive":
+        return naive.state_vector(state)
+    raise ValueError(name)
+
+
+def make_step(cfg: Config, collect: str = "sums"):
+    """Build the fused per-tick step for cfg.filter.
+
+    collect: "sums" (running error only — fastest, the bench path) or
+    "poses" (additionally emit (true, est) poses per tick for viz/pose-graph
+    metrics).
+    """
+    primary = cfg.filter
+    secondary = (
+        cfg.pose_graph.filter_to_compare if primary == "pose_graph" else None
+    )
+    if primary == "pose_graph" and secondary == "pose_graph":
+        raise ValueError("Cannot instantiate two instances of the same filter.")
+
+    def step(carry: RunCarry, inp):
+        cmd, key = inp
+        world, meas = sim_step(cfg, carry.world, cmd, key)
+        truth_xy = world.pose[:2]
+
+        sec_state = carry.secondary
+        err_sec = carry.err_sum_secondary
+        if primary == "pose_graph":
+            # localization_node.cpp:123-131: secondary updates first, primary
+            # is told its state, then primary updates.
+            sec_state = _filter_update(
+                cfg, secondary, sec_state, cmd, meas,
+                true_map=world.landmarks,
+            )
+            sec_pose = _filter_pose(secondary, sec_state)
+            pg = posegraph.update_naive_estimate(
+                carry.primary, _filter_state_vector(cfg, secondary, sec_state)
+            )
+            prim_state = posegraph.update(cfg, pg, cmd, meas)
+            est_pose = sec_pose  # published state is the secondary's
+            err_sec = err_sec + jnp.linalg.norm(sec_pose[:2] - truth_xy)
+        else:
+            prim_state = _filter_update(
+                cfg, primary, carry.primary, cmd, meas,
+                true_map=world.landmarks,
+            )
+            est_pose = _filter_pose(primary, prim_state)
+
+        err_prim = carry.err_sum_primary + jnp.linalg.norm(
+            est_pose[:2] - truth_xy
+        )
+        new_carry = RunCarry(
+            world=world,
+            primary=prim_state,
+            secondary=sec_state,
+            err_sum_primary=err_prim,
+            err_sum_secondary=err_sec,
+        )
+        if collect == "poses":
+            out = (world.pose, est_pose)
+        else:
+            out = None
+        return new_carry, out
+
+    return step
+
+
+def init_carry(cfg: Config, landmarks, n_active=None, init_pose=None) -> RunCarry:
+    world = init_world(cfg, landmarks, n_active, init_pose)
+    primary = _filter_init(cfg, cfg.filter, init_pose)
+    secondary = None
+    if cfg.filter == "pose_graph":
+        secondary = _filter_init(cfg, cfg.pose_graph.filter_to_compare, init_pose)
+    return RunCarry(
+        world=world,
+        primary=primary,
+        secondary=secondary,
+        err_sum_primary=jnp.float32(0.0),
+        err_sum_secondary=jnp.float32(0.0),
+    )
+
+
+def rollout(cfg: Config, carry: RunCarry, cmds, key, collect: str = "sums"):
+    """Scan the fused step over a (T, 2) command sequence for one world."""
+    step = make_step(cfg, collect)
+    t_total = cmds.shape[0]
+    keys = jax.random.split(key, t_total)
+    final, outs = jax.lax.scan(step, carry, (cmds, keys))
+    return final, outs
+
+
+def _single_world_run(cfg: Config, collect: str, landmarks, key):
+    """world init + trajectory precompute + rollout; vmap target."""
+    k_traj, k_roll = jax.random.split(key)
+    n_active = landmarks.shape[0]
+    carry = init_carry(cfg, landmarks, n_active)
+    if cfg.precompute_trajectory:
+        cmds = generate_trajectory(cfg, landmarks, n_active, k_traj)
+    else:
+        # open-loop kickoff-only runs still tick the sim with zero commands
+        cmds = jnp.zeros((cfg.num_iterations, 2), jnp.float32)
+    final, outs = rollout(cfg, carry, cmds, k_roll, collect)
+    return final, outs
+
+
+def run_monte_carlo(
+    cfg: Config,
+    key,
+    batch: int,
+    seed: int = 0,
+    collect: str = "sums",
+    solve_chunk: int = 8,
+    jit: bool = True,
+):
+    """Full Monte-Carlo evaluation: B worlds, random maps, TSP trajectories.
+
+    Returns a dict of (B,) per-world average position errors, reproducing the
+    reference's benchmark harness (data/<run>/*.csv) in one call.
+    """
+    rng = np.random.default_rng(seed)
+    if cfg.landmark_map in ("random", "rand"):
+        lms = sim_maps.random_landmarks_batched(cfg, rng, batch)
+    else:
+        single, _ = sim_maps.make_landmarks(cfg, rng)
+        lms = np.broadcast_to(single[None], (batch,) + single.shape).copy()
+    lms = jnp.asarray(lms)
+    keys = jax.random.split(key, batch)
+
+    fn = functools.partial(_single_world_run, cfg, collect)
+    batched = jax.vmap(fn)
+    if jit:
+        batched = jax.jit(batched)
+    final, outs = batched(lms, keys)
+
+    t_total = cfg.num_iterations
+    results = {
+        "err_" + cfg.filter: np.asarray(final.err_sum_primary) / t_total,
+    }
+    if cfg.filter == "pose_graph":
+        results["err_" + cfg.pose_graph.filter_to_compare] = (
+            np.asarray(final.err_sum_secondary) / t_total
+        )
+        # Solve the accumulated graphs (chunked: the dense normal equations are
+        # O((3T+2N)^2) per world).
+        if collect != "poses":
+            raise ValueError("pose_graph runs need collect='poses' for metrics")
+        true_poses = outs[0]  # (B, T, 3)
+        solve_fn = jax.jit(jax.vmap(lambda s: posegraph.solve(cfg, s)[:2]))
+        err_pg = []
+        for i in range(0, batch, solve_chunk):
+            sub = jax.tree.map(lambda a: a[i: i + solve_chunk], final.primary)
+            poses_sol, _ = solve_fn(sub)
+            est = poses_sol[:, 1: t_total + 1, :2]
+            tr = true_poses[i: i + solve_chunk, :, :2]
+            err_pg.append(
+                np.asarray(jnp.mean(jnp.linalg.norm(est - tr, axis=-1), axis=-1))
+            )
+        results["err_pose_graph_result"] = np.concatenate(err_pg)
+        # "initial" graph = the secondary's trajectory; aligned metric equals
+        # the secondary filter error.
+        results["err_pose_graph_initial"] = results[
+            "err_" + cfg.pose_graph.filter_to_compare
+        ]
+    return results, final, outs

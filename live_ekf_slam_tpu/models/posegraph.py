@@ -1,0 +1,381 @@
+"""Pose-graph SLAM: on-device factor accumulation + batched Gauss-Newton/LM.
+
+Rebuild of pose_graph.cpp with GTSAM replaced by a masked, fixed-shape
+Levenberg-Marquardt solver over dense normal equations:
+
+  * one prior factor on pose 0 with sigmas (1.3, 1.3, 1.2) (pose_graph.cpp:83)
+  * one SE(2) between-factor per tick from the commanded odometry
+    Pose2(fwd, 0, ang) (pose_graph.cpp:222)
+  * one bearing-range factor per detection, bearing noise first
+    (pose_graph.cpp:174,53-54)
+  * node values seeded from the secondary filter's online estimate
+    (pose_graph.cpp:97-118,247)
+
+The graph tensors are allocated at full capacity (T ticks, K measurement slots
+per tick, N landmarks) with validity masks, so accumulation runs inside the
+jitted/vmapped per-tick step with static shapes; the solve is a
+`lax.while_loop` LM iteration over dense (3(T+1)+2N)-dim normal equations
+assembled by vectorized scatter-adds (one fused XLA kernel per iteration).
+
+Residual conventions use the SE(2) local-coordinates approximation of GTSAM's
+Logmap; per-step motions are <= (0.1 m, 0.055 rad) so the difference from the
+exact log map is far below the noise floor (validated against LM convergence in
+tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.types import Measurements, PoseGraphState
+from live_ekf_slam_tpu.ops.precision import einsum32
+from live_ekf_slam_tpu.utils.geometry import wrap_angle
+
+
+def init(cfg: Config, init_pose=None) -> PoseGraphState:
+    t_cap = cfg.num_iterations
+    n = cfg.num_landmark_slots
+    k = cfg.num_meas_slots
+    pose = jnp.asarray(
+        cfg.init_pose if init_pose is None else init_pose, jnp.float32
+    )
+    return PoseGraphState(
+        poses_init=jnp.zeros((t_cap + 1, 3), jnp.float32).at[0].set(pose),
+        lms_init=jnp.zeros((n, 2), jnp.float32),
+        odom=jnp.zeros((t_cap, 2), jnp.float32),
+        odom_valid=jnp.zeros(t_cap, bool),
+        meas_rb=jnp.zeros((t_cap, k, 2), jnp.float32),
+        meas_lm=jnp.zeros((t_cap, k), jnp.int32),
+        meas_valid=jnp.zeros((t_cap, k), bool),
+        ids=jnp.full(n, -1, jnp.int32),
+        M=jnp.int32(0),
+        timestep=jnp.int32(0),
+        cur_pose=pose,
+        poses_sol=jnp.zeros((t_cap + 1, 3), jnp.float32).at[0].set(pose),
+        lms_sol=jnp.zeros((n, 2), jnp.float32),
+        solved=jnp.asarray(False),
+    )
+
+
+def update_naive_estimate(s: PoseGraphState, secondary_pose) -> PoseGraphState:
+    """updateNaiveVehPoseEstimate (pose_graph.cpp:97-119): store the secondary
+    filter's current pose to seed the next graph node."""
+    return s.replace(cur_pose=secondary_pose[:3])
+
+
+def update(cfg: Config, s: PoseGraphState, cmd, meas: Measurements) -> PoseGraphState:
+    """One graph-building tick (pose_graph.cpp:199-271), minus the solve.
+
+    The final-tick solve (pose_graph.cpp:208-214) runs outside the scan via
+    `solve()`; accumulation past capacity is masked off exactly like the
+    reference's stopping criterion.
+    """
+    t_cap = s.odom.shape[0]
+    t = s.timestep
+    live = t + 1 < jnp.int32(cfg.num_iterations)
+
+    odom = jnp.where(
+        live, s.odom.at[t].set(jnp.stack([cmd[0], cmd[1]])), s.odom
+    )
+    odom_valid = jnp.where(live, s.odom_valid.at[t].set(True), s.odom_valid)
+    t_new = jnp.where(live, jnp.minimum(t + 1, t_cap), t)
+    poses_init = jnp.where(
+        live, s.poses_init.at[t_new].set(s.cur_pose), s.poses_init
+    )
+
+    # measurements: resolve landmark slots, seed first sightings, add factors
+    n_cap = s.ids.shape[0]
+    slot_idx = jnp.arange(n_cap)
+
+    def meas_body(carry, slot):
+        ids, m, lms_init, row_rb, row_lm, row_valid, j = carry
+        mid, r, b, valid = slot
+        valid = valid & live
+        match = (ids == mid) & (slot_idx < m)
+        found = jnp.any(match)
+        idx = jnp.where(found, jnp.argmax(match), m)
+        is_new = valid & ~found & (m < n_cap)
+        # first sighting: seed global position from the secondary estimate
+        # (pose_graph.cpp:163-169)
+        seed = jnp.stack(
+            [
+                s.cur_pose[0] + r * jnp.cos(s.cur_pose[2] + b),
+                s.cur_pose[1] + r * jnp.sin(s.cur_pose[2] + b),
+            ]
+        )
+        lms_init = jnp.where(is_new, lms_init.at[m].set(seed), lms_init)
+        ids = jnp.where(is_new, ids.at[m].set(mid), ids)
+        m = jnp.where(is_new, m + 1, m)
+        row_rb = jnp.where(valid, row_rb.at[j].set(jnp.stack([r, b])), row_rb)
+        row_lm = jnp.where(valid, row_lm.at[j].set(idx), row_lm)
+        row_valid = jnp.where(valid, row_valid.at[j].set(True), row_valid)
+        return (ids, m, lms_init, row_rb, row_lm, row_valid, j + 1), None
+
+    k = s.meas_rb.shape[1]
+    carry0 = (
+        s.ids,
+        s.M,
+        s.lms_init,
+        jnp.zeros((k, 2), jnp.float32),
+        jnp.zeros(k, jnp.int32),
+        jnp.zeros(k, bool),
+        jnp.int32(0),
+    )
+    (ids, m, lms_init, row_rb, row_lm, row_valid, _), _ = jax.lax.scan(
+        meas_body, carry0, (meas.ids, meas.r, meas.b, meas.valid)
+    )
+    # factors attach to the *new* pose node (timestep was incremented first,
+    # pose_graph.cpp:240-259); row index in the tensors is t_new - 1 = t.
+    meas_rb = jnp.where(live, s.meas_rb.at[t].set(row_rb), s.meas_rb)
+    meas_lm = jnp.where(live, s.meas_lm.at[t].set(row_lm), s.meas_lm)
+    meas_valid = jnp.where(live, s.meas_valid.at[t].set(row_valid), s.meas_valid)
+
+    return s.replace(
+        odom=odom,
+        odom_valid=odom_valid,
+        poses_init=poses_init,
+        meas_rb=meas_rb,
+        meas_lm=meas_lm,
+        meas_valid=meas_valid,
+        ids=ids,
+        M=m,
+        timestep=t_new,
+    )
+
+
+# ----------------------------------------------------------------------
+# Gauss-Newton / Levenberg-Marquardt solve
+# ----------------------------------------------------------------------
+
+def _noise_sigmas(cfg: Config):
+    (v00, v11), (w00, w11) = cfg.filter_noise()
+    if cfg.compat.pg_variances_as_sigmas:
+        # GTSAM models are built from variances passed as sigmas
+        # (pose_graph.cpp:52-54).
+        odom_s = (v00, v00, v11)
+        meas_s = (w11, w00)  # (bearing, range)
+    else:
+        odom_s = (v00 ** 0.5, v00 ** 0.5, v11 ** 0.5)
+        meas_s = (w11 ** 0.5, w00 ** 0.5)
+    return odom_s, meas_s
+
+
+def _residuals(cfg: Config, s: PoseGraphState, poses, lms):
+    """All whitened residuals + masks, vectorized over factors."""
+    odom_s, meas_s = _noise_sigmas(cfg)
+    prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
+
+    # prior on pose 0
+    p0 = s.poses_init[0]
+    r_prior = jnp.concatenate(
+        [poses[0, :2] - p0[:2], wrap_angle(poses[0, 2] - p0[2])[None]]
+    ) / prior_s
+
+    # odometry between-factors t -> t+1
+    pa = poses[:-1]
+    pb = poses[1:]
+    ca, sa = jnp.cos(pa[:, 2]), jnp.sin(pa[:, 2])
+    dx = pb[:, 0] - pa[:, 0]
+    dy = pb[:, 1] - pa[:, 1]
+    lx = ca * dx + sa * dy
+    ly = -sa * dx + ca * dy
+    lth = wrap_angle(pb[:, 2] - pa[:, 2])
+    r_odom = jnp.stack(
+        [
+            (lx - s.odom[:, 0]) / odom_s[0],
+            (ly - 0.0) / odom_s[1],
+            wrap_angle(lth - s.odom[:, 1]) / odom_s[2],
+        ],
+        axis=1,
+    )
+    r_odom = jnp.where(s.odom_valid[:, None], r_odom, 0.0)
+
+    # bearing-range factors: measurement at row t attaches to pose t+1
+    t_cap, k = s.meas_valid.shape
+    pt = poses[1:][:, None, :]  # (T, 1, 3)
+    lm = lms[s.meas_lm]  # (T, K, 2)
+    mdx = lm[..., 0] - pt[..., 0]
+    mdy = lm[..., 1] - pt[..., 1]
+    rng = jnp.sqrt(mdx * mdx + mdy * mdy)
+    rng_safe = jnp.where(s.meas_valid & (rng > 0), rng, 1.0)
+    brg = wrap_angle(jnp.arctan2(mdy, mdx) - pt[..., 2])
+    r_meas = jnp.stack(
+        [
+            wrap_angle(brg - s.meas_rb[..., 1]) / meas_s[0],
+            (rng - s.meas_rb[..., 0]) / meas_s[1],
+        ],
+        axis=-1,
+    )  # (T, K, 2) — (bearing, range) order, pose_graph.cpp:53-54
+    r_meas = jnp.where(s.meas_valid[..., None], r_meas, 0.0)
+    return r_prior, r_odom, r_meas, rng_safe, (mdx, mdy)
+
+
+def graph_error(cfg: Config, s: PoseGraphState, poses, lms):
+    """0.5 * sum of squared whitened residuals (GTSAM's error convention)."""
+    r_prior, r_odom, r_meas, _, _ = _residuals(cfg, s, poses, lms)
+    return 0.5 * (
+        jnp.sum(r_prior ** 2) + jnp.sum(r_odom ** 2) + jnp.sum(r_meas ** 2)
+    )
+
+
+def _assemble(cfg: Config, s: PoseGraphState, poses, lms):
+    """Dense damped-GN system: returns (H, g) with H = J^T J, g = -J^T r."""
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    dim = 3 * (t_cap + 1) + 2 * n_cap
+    odom_s, meas_s = _noise_sigmas(cfg)
+    prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
+
+    r_prior, r_odom, r_meas, rng_safe, (mdx, mdy) = _residuals(cfg, s, poses, lms)
+
+    h = jnp.zeros((dim, dim), jnp.float32)
+    g = jnp.zeros(dim, jnp.float32)
+
+    # ---- prior: J = diag(1/sigma) on pose-0 block ----
+    inv_pr = 1.0 / prior_s
+    h = h.at[jnp.arange(3), jnp.arange(3)].add(inv_pr ** 2)
+    g = g.at[:3].add(-inv_pr * r_prior)
+
+    # ---- odometry factors (vectorized over T) ----
+    pa = poses[:-1]
+    ca, sa = jnp.cos(pa[:, 2]), jnp.sin(pa[:, 2])
+    dx = poses[1:, 0] - pa[:, 0]
+    dy = poses[1:, 1] - pa[:, 1]
+    zeros = jnp.zeros_like(ca)
+    ones = jnp.ones_like(ca)
+    # d residual / d pose_t (before whitening)
+    ja = jnp.stack(
+        [
+            jnp.stack([-ca, -sa, -sa * dx + ca * dy], axis=-1),
+            jnp.stack([sa, -ca, -ca * dx - sa * dy], axis=-1),
+            jnp.stack([zeros, zeros, -ones], axis=-1),
+        ],
+        axis=1,
+    )  # (T, 3, 3)
+    jb = jnp.stack(
+        [
+            jnp.stack([ca, sa, zeros], axis=-1),
+            jnp.stack([-sa, ca, zeros], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=1,
+    )
+    inv_od = jnp.asarray([1.0 / odom_s[0], 1.0 / odom_s[1], 1.0 / odom_s[2]], jnp.float32)
+    ja = ja * inv_od[None, :, None]
+    jb = jb * inv_od[None, :, None]
+    mask_od = s.odom_valid.astype(jnp.float32)[:, None, None]
+    ja = ja * mask_od
+    jb = jb * mask_od
+    j66 = jnp.concatenate([ja, jb], axis=2)  # (T, 3, 6)
+    h66 = einsum32("tri,trj->tij", j66, j66)  # (T, 6, 6)
+    g6 = -einsum32("tri,tr->ti", j66, r_odom)  # (T, 6)
+    base = 3 * jnp.arange(t_cap)
+    ix6 = base[:, None] + jnp.arange(6)[None, :]  # (T, 6) var indices
+    h = h.at[ix6[:, :, None], ix6[:, None, :]].add(h66)
+    g = g.at[ix6].add(g6)
+
+    # ---- bearing-range factors (vectorized over T*K) ----
+    t_idx = jnp.broadcast_to(
+        jnp.arange(t_cap)[:, None], s.meas_valid.shape
+    ).reshape(-1)
+    lm_idx = s.meas_lm.reshape(-1)
+    valid = s.meas_valid.reshape(-1).astype(jnp.float32)
+    mdxf = mdx.reshape(-1)
+    mdyf = mdy.reshape(-1)
+    rngf = rng_safe.reshape(-1)
+    r2 = rngf * rngf
+    # rows: (bearing, range); cols: (px, py, pth, lx, ly)
+    jm = jnp.stack(
+        [
+            jnp.stack(
+                [mdyf / r2, -mdxf / r2, -jnp.ones_like(rngf), -mdyf / r2, mdxf / r2],
+                axis=-1,
+            )
+            / meas_s[0],
+            jnp.stack(
+                [-mdxf / rngf, -mdyf / rngf, jnp.zeros_like(rngf), mdxf / rngf, mdyf / rngf],
+                axis=-1,
+            )
+            / meas_s[1],
+        ],
+        axis=1,
+    )  # (F, 2, 5)
+    jm = jm * valid[:, None, None]
+    h55 = einsum32("fri,frj->fij", jm, jm)
+    g5 = -einsum32("fri,fr->fi", jm, r_meas.reshape(-1, 2))
+    pose_base = 3 * (t_idx + 1)
+    lm_base = 3 * (t_cap + 1) + 2 * lm_idx
+    ix5 = jnp.concatenate(
+        [
+            pose_base[:, None] + jnp.arange(3)[None, :],
+            lm_base[:, None] + jnp.arange(2)[None, :],
+        ],
+        axis=1,
+    )  # (F, 5)
+    h = h.at[ix5[:, :, None], ix5[:, None, :]].add(h55)
+    g = g.at[ix5].add(g5)
+
+    # ---- inactive variables: pin with identity rows ----
+    pose_active = jnp.arange(t_cap + 1) <= s.timestep
+    lm_active = jnp.arange(n_cap) < s.M
+    var_active = jnp.concatenate(
+        [jnp.repeat(pose_active, 3), jnp.repeat(lm_active, 2)]
+    )
+    diag_fix = jnp.where(var_active, 0.0, 1.0)
+    h = h + jnp.diag(diag_fix)
+    g = jnp.where(var_active, g, 0.0)
+    return h, g, var_active
+
+
+def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
+    """LM optimization (pose_graph.cpp:283-284, GTSAM LevenbergMarquardt
+    defaults: lambda0=1e-5, factor=10). Returns (poses, lms, final_error)."""
+    pg = cfg.pose_graph
+    poses = s.poses_init if poses0 is None else poses0
+    lms = s.lms_init if lms0 is None else lms0
+    err0 = graph_error(cfg, s, poses, lms)
+    dim = 3 * poses.shape[0] + 2 * lms.shape[0]
+
+    def cond(carry):
+        _, _, _, it, done, _ = carry
+        return (it < pg.max_lm_iters) & ~done
+
+    def body(carry):
+        poses, lms, lam, it, done, err = carry
+        h, g, var_active = _assemble(cfg, s, poses, lms)
+        hd = h + lam * jnp.eye(dim, dtype=jnp.float32)
+        # Cholesky internals also run matmuls; pin them to full fp32.
+        with jax.default_matmul_precision("highest"):
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(hd, lower=True), g
+            )
+        d_poses = delta[: 3 * poses.shape[0]].reshape(-1, 3)
+        d_lms = delta[3 * poses.shape[0]:].reshape(-1, 2)
+        poses_new = poses + d_poses
+        poses_new = poses_new.at[:, 2].set(wrap_angle(poses_new[:, 2]))
+        lms_new = lms + d_lms
+        err_new = graph_error(cfg, s, poses_new, lms_new)
+        accept = err_new < err
+        bad = ~jnp.isfinite(err_new)
+        accept = accept & ~bad
+        poses = jnp.where(accept, poses_new, poses)
+        lms = jnp.where(accept, lms_new, lms)
+        lam = jnp.where(accept, lam / pg.lambda_factor, lam * pg.lambda_factor)
+        rel = jnp.abs(err - err_new) / jnp.maximum(err, 1e-12)
+        done = (accept & (rel < pg.rel_err_tol)) | (lam > 1e10)
+        err = jnp.where(accept, err_new, err)
+        return poses, lms, lam, it + 1, done, err
+
+    poses, lms, _, _, _, err = jax.lax.while_loop(
+        cond,
+        body,
+        (poses, lms, jnp.float32(pg.lambda_init), jnp.int32(0), jnp.asarray(False), err0),
+    )
+    return poses, lms, err
+
+
+def finalize(cfg: Config, s: PoseGraphState) -> PoseGraphState:
+    poses, lms, _ = solve(cfg, s)
+    return s.replace(poses_sol=poses, lms_sol=lms, solved=jnp.asarray(True))

@@ -1,0 +1,27 @@
+"""Precision-pinned matmul helpers.
+
+On TPU, the default matmul precision feeds the MXU with bfloat16 inputs
+(~3 decimal digits). That is the right trade for large neural-net matmuls but
+catastrophically wrong for Kalman covariance algebra: a 0.3% relative error on
+a covariance insertion block was observed with default precision, versus 6e-8
+at HIGHEST. Every accuracy-critical contraction in the filters and the
+pose-graph solver goes through these wrappers; bulk elementwise work (the vast
+majority of the hot path) runs on the VPU at true fp32 regardless.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def dot32(a, b):
+    """jnp.matmul at full fp32 MXU precision."""
+    return jnp.matmul(a, b, precision=HIGHEST)
+
+
+def einsum32(subscripts, *operands):
+    """jnp.einsum at full fp32 MXU precision."""
+    return jnp.einsum(subscripts, *operands, precision=HIGHEST)

@@ -1,0 +1,86 @@
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.sim.world import init_world, propagate_truth, sense
+
+
+def _cfg(**kw):
+    return Config(num_iterations=50).replace(**kw)
+
+
+def test_propagate_truth_noise_free():
+    cfg = _cfg(
+        process_noise=Config().process_noise.__class__(V_00=0.0, V_11=0.0)
+    )
+    pose = jnp.array([1.0, 2.0, 0.5])
+    cmd = jnp.array([0.08, 0.03])
+    out = np.asarray(propagate_truth(cfg, pose, cmd, jax.random.PRNGKey(0)))
+    exp = [1.0 + 0.08 * math.cos(0.5), 2.0 + 0.08 * math.sin(0.5), 0.53]
+    np.testing.assert_allclose(out, exp, rtol=1e-5)
+
+
+def test_propagate_clamps_commands():
+    cfg = _cfg(
+        process_noise=Config().process_noise.__class__(V_00=0.0, V_11=0.0)
+    )
+    pose = jnp.array([0.0, 0.0, 0.0])
+    # forward command above d_max, angular beyond +/-th_max
+    out = np.asarray(
+        propagate_truth(cfg, pose, jnp.array([5.0, -1.0]), jax.random.PRNGKey(1))
+    )
+    np.testing.assert_allclose(out[0], cfg.constraints.commands.d_max, rtol=1e-5)
+    np.testing.assert_allclose(out[2], -cfg.constraints.commands.th_max, rtol=1e-5)
+    # negative forward commands clamp at 0
+    out2 = np.asarray(
+        propagate_truth(cfg, pose, jnp.array([-3.0, 0.0]), jax.random.PRNGKey(2))
+    )
+    assert out2[0] == 0.0
+
+
+def test_visibility_cull_matches_reference_loop():
+    rng = np.random.default_rng(3)
+    cfg = _cfg(
+        sensing_noise=Config().sensing_noise.__class__(W_00=0.0, W_11=0.0),
+    )
+    lms = rng.uniform(-10, 10, size=(20, 2)).astype(np.float32)
+    world = init_world(cfg, jnp.asarray(lms))
+    for trial in range(10):
+        pose = np.array(
+            [rng.uniform(-8, 8), rng.uniform(-8, 8), rng.uniform(-6, 6)],
+            dtype=np.float32,
+        )
+        meas = sense(cfg, world, jnp.asarray(pose), jax.random.PRNGKey(trial))
+        # reference loop (sim_node.py:229-243)
+        expect = []
+        for lid in range(20):
+            dx, dy = lms[lid, 0] - pose[0], lms[lid, 1] - pose[1]
+            r = math.sqrt(dx * dx + dy * dy)
+            beta = math.remainder(math.atan2(dy, dx) - pose[2], 2 * math.pi)
+            if r > cfg.constraints.vision.range_max:
+                continue
+            if cfg.constraints.vision.fov_min < beta < cfg.constraints.vision.fov_max:
+                expect.append((lid, r, beta))
+        got_ids = [int(i) for i, v in zip(np.asarray(meas.ids), np.asarray(meas.valid)) if v]
+        assert got_ids == [e[0] for e in expect]
+        got_r = np.asarray(meas.r)[np.asarray(meas.valid)]
+        got_b = np.asarray(meas.b)[np.asarray(meas.valid)]
+        np.testing.assert_allclose(got_r, [e[1] for e in expect], atol=1e-4)
+        np.testing.assert_allclose(got_b, [e[2] for e in expect], atol=1e-4)
+
+
+def test_meas_slot_compaction_preserves_order():
+    cfg = _cfg(num_meas_slots=3)
+    cfg = cfg.replace(
+        sensing_noise=Config().sensing_noise.__class__(W_00=0.0, W_11=0.0)
+    )
+    # 5 landmarks straight ahead within range -> all visible, only 3 slots
+    lms = np.array([[0.5, 0], [1.0, 0], [1.5, 0], [2.0, 0], [2.5, 0]], np.float32)
+    world = init_world(cfg, jnp.asarray(lms))
+    meas = sense(cfg, world, jnp.array([0.0, 0.0, 0.0]), jax.random.PRNGKey(0))
+    assert bool(meas.overflow)
+    assert list(np.asarray(meas.ids)) == [0, 1, 2]
+    assert np.asarray(meas.valid).all()
