@@ -158,4 +158,6 @@ def test_inactive_slots_stay_inert():
     assert np.isfinite(np.asarray(s.x)).all()
     assert np.isfinite(np.asarray(s.P)).all()
     m = int(s.M)
-    assert m == 3
+    assert 1 <= m <= 3
+    # slots beyond M stay untouched
+    assert (np.asarray(s.ids)[m:] == -1).all()
