@@ -157,8 +157,13 @@ def _noise_sigmas(cfg: Config):
         odom_s = (v00, v00, v11)
         meas_s = (w11, w00)  # (bearing, range)
     else:
-        odom_s = (v00 ** 0.5, v00 ** 0.5, v11 ** 0.5)
-        meas_s = (w11 ** 0.5, w00 ** 0.5)
+        # honest model of the simulator's actual noise: U(-V, V) has std
+        # V/sqrt(3); the unicycle has NO lateral slip, so the lateral sigma is
+        # a small regularizer rather than sqrt(V) (which lets the trajectory
+        # slide sideways to overfit measurement noise and diverge).
+        s3 = 3.0 ** 0.5
+        odom_s = (v00 / s3, 1e-3, v11 / s3)
+        meas_s = (w11 / s3, w00 / s3)
     return odom_s, meas_s
 
 
@@ -196,10 +201,12 @@ def _residuals(cfg: Config, s: PoseGraphState, poses, lms):
     t_cap, k = s.meas_valid.shape
     pt = poses[1:][:, None, :]  # (T, 1, 3)
     lm = lms[s.meas_lm]  # (T, K, 2)
-    mdx = lm[..., 0] - pt[..., 0]
-    mdy = lm[..., 1] - pt[..., 1]
+    # double-where: masked slots get unit geometry BEFORE sqrt/atan2 so
+    # gradients through the masked residuals stay finite.
+    mdx = jnp.where(s.meas_valid, lm[..., 0] - pt[..., 0], 1.0)
+    mdy = jnp.where(s.meas_valid, lm[..., 1] - pt[..., 1], 0.0)
     rng = jnp.sqrt(mdx * mdx + mdy * mdy)
-    rng_safe = jnp.where(s.meas_valid & (rng > 0), rng, 1.0)
+    rng_safe = jnp.where(rng > 0, rng, 1.0)
     brg = wrap_angle(jnp.arctan2(mdy, mdx) - pt[..., 2])
     r_meas = jnp.stack(
         [
@@ -346,10 +353,19 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
         poses, lms, lam, it, done, err = carry
         h, g, var_active = _assemble(cfg, s, poses, lms)
         hd = h + lam * jnp.eye(dim, dtype=jnp.float32)
+        # Jacobi (symmetric diagonal) preconditioning: the whitened normal
+        # equations span ~8 orders of magnitude (odometry weights 1/sigma^2 vs
+        # the weak pose-0 prior), which is marginal for fp32 Cholesky.
+        dscale = jax.lax.rsqrt(jnp.maximum(jnp.diag(hd), 1e-12))
+        hs = hd * dscale[:, None] * dscale[None, :]
+        gs = g * dscale
         # Cholesky internals also run matmuls; pin them to full fp32.
         with jax.default_matmul_precision("highest"):
-            delta = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(hd, lower=True), g
+            delta = (
+                jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(hs, lower=True), gs
+                )
+                * dscale
             )
         d_poses = delta[: 3 * poses.shape[0]].reshape(-1, 3)
         d_lms = delta[3 * poses.shape[0]:].reshape(-1, 2)
