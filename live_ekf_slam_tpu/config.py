@@ -227,6 +227,11 @@ class Config:
     # trade fidelity for speed (dropped detections are flagged).
     num_meas_slots: int = 20
 
+    # Test seam: scales the simulator's noise draws without touching the
+    # filters' assumed V/W (0.0 gives a fully deterministic world, which makes
+    # the XLA and Pallas paths exactly comparable).
+    sim_noise_scale: float = 1.0
+
     # ---- launch-arg equivalents (sim_base.launch:11-15) ----
     occ_map_img: str = "blank.jpg"
     landmark_map: str = "random"  # demo | grid | random | igvc1

@@ -1,0 +1,452 @@
+"""Fused sim+EKF-SLAM rollout as a single Pallas TPU kernel.
+
+This is the speed-of-light path for the headline benchmark. The XLA
+vmap(scan(step)) path (eval/runner.py) streams the full (B, D, D) covariance
+through HBM on every one of the ~20 sequential measurement-slot updates per
+tick; at 4096 worlds that is ~GBs of HBM traffic per simulated tick. Here the
+whole rollout runs inside one kernel with a **lane-major** layout — worlds on
+the 128-wide lane dimension, the (D<=48)-dim state on sublanes — so each
+world-block's covariance lives in VMEM for all T steps and HBM traffic is just
+the command stream in and the final state out.
+
+Key design points (vs the reference algorithms in sim_node.py:209-250 and
+ekf.cpp:37-178):
+
+* landmark slot == landmark id. The EKF equations are equivariant under a
+  permutation of the state, so pinning each landmark to the slot of its id
+  (instead of the reference's discovery order) gives bit-equivalent estimates
+  up to reordering — and makes EVERY index in the kernel static: no gathers,
+  no dynamic slicing, no one-hot contractions. Requires known landmark ids
+  (the default; data association falls back to the XLA path).
+* masked no-ops by zeroing the Kalman gain: a world whose measurement slot is
+  invalid gets K=0, making x += K nu and P -= K(HP) exact identities — no
+  select pass over the covariance.
+* H is never materialized: its rows have <=5 nonzeros at static indices, so
+  P H^T is a 4/5-term combination of static covariance columns, S reads 4/5
+  entries of those, and the covariance downdate is a single fused rank-2
+  pass — the only O(D^2 * B) work per landmark.
+* the predict F P F^T is two rank-1 row updates + two rank-1 column updates
+  (F = I + u e2^T with two nonzeros in u): O(D * B), not O(D^2 * B).
+* uniform sim noise U(-V, V) (sim_node.py:216-217,246-249) from the on-core
+  PRNG (pltpu.prng_random_bits); same distribution family as the reference,
+  independent stream.
+* angle wrap = theta - 2pi*rint(theta/2pi), exactly C remainder semantics.
+
+Compat quirks honored: noise V/W swap (via cfg.filter_noise()), stale-landmark
+linearization (ekf.cpp:115-129), unwrapped bearing innovation (ekf.cpp:131).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from live_ekf_slam_tpu.config import Config
+
+_TWO_PI = 6.283185307179586
+_PI = 3.141592653589793
+_HALF_PI = 1.5707963267948966
+# Initial pose covariance diag (ekf.cpp:11-18).
+_P0 = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005)
+
+
+def _rint(x):
+    """Round-half-to-even for |x| < 2^22, branch-free (the 1.5*2^23 trick)."""
+    big = jnp.float32(12582912.0)  # 1.5 * 2**23
+    return (x + big) - big
+
+
+def _wrap(t):
+    """C remainder(t, 2*pi): exact IEEE nearest-integer remainder."""
+    return t - _TWO_PI * _rint(t * jnp.float32(1.0 / _TWO_PI))
+
+
+def _atan(z):
+    """arctan on [0, 1], ~1e-7 max error (odd minimax polynomial in z^2).
+
+    Mosaic has no atan2 lowering; this plus quadrant fixes implements it.
+    """
+    w = z * z
+    p = jnp.float32(-0.0117212)
+    p = p * w + jnp.float32(0.05265332)
+    p = p * w + jnp.float32(-0.11643287)
+    p = p * w + jnp.float32(0.19354346)
+    p = p * w + jnp.float32(-0.33262347)
+    p = p * w + jnp.float32(0.99997726)
+    return z * p
+
+
+def _atan2(y, x):
+    """Full-quadrant atan2 built from the [0,1] arctan core."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    a = _atan(z)
+    a = jnp.where(ay > ax, _HALF_PI - a, a)       # reflect above the diagonal
+    a = jnp.where(x < 0.0, _PI - a, a)            # left half-plane
+    return jnp.where(y < 0.0, -a, a)              # lower half-plane
+
+
+def _uniform_pm1(bits):
+    """Random bits -> float32 uniform in [-1, 1).
+
+    prng_random_bits yields SIGNED int32 on TPU; the arithmetic shift keeps
+    the sign, giving a symmetric 24-bit integer in [-2^23, 2^23).
+    """
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 8388608.0)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
+                 inject_noise: bool = False):
+    """Builds the kernel body, specialized on the static config."""
+    (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
+    nz = cfg.sim_noise_scale
+    v00s = cfg.process_noise.V_00 * nz  # sim noise half-widths (true values)
+    v11s = cfg.process_noise.V_11 * nz
+    w00s = cfg.sensing_noise.W_00 * nz
+    w11s = cfg.sensing_noise.W_11 * nz
+    v_d, v_th = cfg.process_noise.v_d, cfg.process_noise.v_th
+    w_r, w_b = cfg.sensing_noise.w_r, cfg.sensing_noise.w_b
+    d_max = cfg.constraints.commands.d_max
+    th_max = cfg.constraints.commands.th_max
+    r_max = cfg.constraints.vision.range_max
+    fov_min = cfg.constraints.vision.fov_min
+    fov_max = cfg.constraints.vision.fov_max
+    stale = cfg.compat.ekf_stale_landmarks
+    wrap_innov = not cfg.compat.ekf_unwrapped_innovation
+    x0, y0, yaw0 = cfg.init_pose
+
+    def kernel(seed_ref, cmds_ref, lms_ref, *rest):
+        if inject_noise:
+            noise_ref = rest[0]
+            stats_ref, x_ref, p_ref, seen_ref = rest[1:]
+        else:
+            stats_ref, x_ref, p_ref, seen_ref = rest
+        blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + blk)
+
+        # ---- init state in the output refs (they are our VMEM working set)
+        x_ref[:, :] = jnp.zeros((dp, bl), jnp.float32)
+        x_ref[0:1, :] = jnp.full((1, bl), x0, jnp.float32)
+        x_ref[1:2, :] = jnp.full((1, bl), y0, jnp.float32)
+        x_ref[2:3, :] = jnp.full((1, bl), yaw0, jnp.float32)
+        p_ref[:, :, :] = jnp.zeros((dp, dp, bl), jnp.float32)
+        for i, v in enumerate(_P0):
+            p_ref[i, i:i + 1, :] = jnp.full((1, bl), v, jnp.float32)
+        seen_ref[:, :] = jnp.zeros((n_lm, bl), jnp.float32)
+        # stats rows: 0 err_sum, 1 tx, 2 ty, 3 tth
+        stats_ref[:, :] = jnp.zeros((8, bl), jnp.float32)
+        stats_ref[1:2, :] = jnp.full((1, bl), x0, jnp.float32)
+        stats_ref[2:3, :] = jnp.full((1, bl), y0, jnp.float32)
+        stats_ref[3:4, :] = jnp.full((1, bl), yaw0, jnp.float32)
+
+        lx = lms_ref[:, 0, :]  # (N, BL) true landmark x
+        ly = lms_ref[:, 1, :]
+
+        def tick(t, _):
+            cmd = cmds_ref[t]  # (2, BL): fwd, ang
+            fwd = cmd[0:1, :]
+            ang = cmd[1:2, :]
+
+            if inject_noise:
+                u = noise_ref[t]
+            else:
+                bits = pltpu.prng_random_bits((2 * n_lm + 8, bl))
+                u = _uniform_pm1(bits)
+
+            # ---- truth propagation (sim_node.py:216-222)
+            tx = stats_ref[1:2, :]
+            ty = stats_ref[2:3, :]
+            tth = stats_ref[3:4, :]
+            d_n = jnp.clip(fwd + v00s * u[0:1, :], 0.0, d_max)
+            h_n = jnp.clip(ang + v11s * u[1:2, :], -th_max, th_max)
+            tx = tx + d_n * jnp.cos(tth)
+            ty = ty + d_n * jnp.sin(tth)
+            tth = tth + h_n  # deliberately unwrapped
+            stats_ref[1:2, :] = tx
+            stats_ref[2:3, :] = ty
+            stats_ref[3:4, :] = tth
+
+            # ---- sensing (sim_node.py:228-250), all landmarks at once
+            dxl = lx - tx
+            dyl = ly - ty
+            r_true = jnp.sqrt(dxl * dxl + dyl * dyl)
+            beta = _wrap(_atan2(dyl, dxl) - tth)
+            vis = (
+                (r_true <= r_max) & (beta > fov_min) & (beta < fov_max)
+            ).astype(jnp.float32)  # (N, BL)
+            rn_all = r_true + w00s * u[2: 2 + n_lm, :]
+            bn_all = beta + w11s * u[2 + n_lm: 2 + 2 * n_lm, :]
+
+            # ---- EKF predict (ekf.cpp:41-61) via rank-1 structure
+            th = x_ref[2:3, :]
+            c = jnp.cos(th)
+            s = jnp.sin(th)
+            u0 = -fwd * s  # F_x(0,2)
+            u1 = fwd * c   # F_x(1,2)
+            row2 = p_ref[2, :, :]  # (DP, BL)
+            p_ref[0, :, :] = p_ref[0, :, :] + u0 * row2
+            p_ref[1, :, :] = p_ref[1, :, :] + u1 * row2
+            col2 = p_ref[:, 2:3, :]  # (DP, 1, BL) — updated rows included
+            p_ref[:, 0:1, :] = p_ref[:, 0:1, :] + col2 * u0[None]
+            p_ref[:, 1:2, :] = p_ref[:, 1:2, :] + col2 * u1[None]
+            # F_v V F_v^T on the top-left 3x3 (ekf.cpp:51-54)
+            p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * v00f
+            p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * v00f
+            p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * v00f
+            p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * v00f
+            p_ref[2, 2:3, :] = p_ref[2, 2:3, :] + v11f
+
+            x_ref[0:1, :] = x_ref[0:1, :] + (fwd + v_d) * c
+            x_ref[1:2, :] = x_ref[1:2, :] + (fwd + v_d) * s
+            x_ref[2:3, :] = _wrap(th + ang + v_th)
+
+            if stale:
+                x_committed = x_ref[:, :]  # value snapshot before updates
+
+            # ---- sequential per-landmark update/insertion (ekf.cpp:73-174)
+            for j in range(n_lm):
+                li = 3 + 2 * j
+                visj = vis[j:j + 1, :]
+                seenj = seen_ref[j:j + 1, :]
+                m_u = visj * seenj          # update gate
+                m_i = visj * (1.0 - seenj)  # insertion gate
+                rn = rn_all[j:j + 1, :]
+                bn = bn_all[j:j + 1, :]
+
+                # ------- landmark update (ekf.cpp:110-140)
+                xv = x_ref[0:1, :]
+                yv = x_ref[1:2, :]
+                thv = x_ref[2:3, :]
+                if stale:
+                    lmx = x_committed[li:li + 1, :]
+                    lmy = x_committed[li + 1:li + 2, :]
+                else:
+                    lmx = x_ref[li:li + 1, :]
+                    lmy = x_ref[li + 1:li + 2, :]
+                ddx = lmx - xv
+                ddy = lmy - yv
+                d2 = ddx * ddx + ddy * ddy
+                d2 = jnp.maximum(d2, 1e-12)
+                dist = jnp.sqrt(d2)
+                a_r = ddx / dist   # h_r coefficient magnitude (x)
+                b_r = ddy / dist
+                a_b = ddy / d2     # h_b coefficients
+                b_b = ddx / d2
+
+                c0 = p_ref[:, 0:1, :]
+                c1 = p_ref[:, 1:2, :]
+                c2 = p_ref[:, 2:3, :]
+                cl0 = p_ref[:, li:li + 1, :]
+                cl1 = p_ref[:, li + 1:li + 2, :]
+                # pr = P h_r^T, pb = P h_b^T (D, 1, BL)
+                pr = (cl0 - c0) * a_r[None] + (cl1 - c1) * b_r[None]
+                pb = (c0 - cl0) * a_b[None] + (cl1 - c1) * b_b[None] - c2
+
+                # S = H (P H^T) + W, entries via the 4/5 nonzeros of H
+                s00 = (
+                    -a_r * pr[0] - b_r * pr[1] + a_r * pr[li] + b_r * pr[li + 1]
+                ) + w00f
+                s01 = (
+                    -a_r * pb[0] - b_r * pb[1] + a_r * pb[li] + b_r * pb[li + 1]
+                )
+                s10 = (
+                    a_b * pr[0] - b_b * pr[1] - pr[2]
+                    - a_b * pr[li] + b_b * pr[li + 1]
+                )
+                s11 = (
+                    a_b * pb[0] - b_b * pb[1] - pb[2]
+                    - a_b * pb[li] + b_b * pb[li + 1]
+                ) + w11f
+                det = s00 * s11 - s01 * s10
+                det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+                i00 = s11 / det
+                i01 = -s01 / det
+                i10 = -s10 / det
+                i11 = s00 / det
+
+                # K = (P H^T) S^{-1}, gated to zero for non-updating worlds
+                k0 = (pr * i00[None] + pb * i10[None]) * m_u[None]
+                k1 = (pr * i01[None] + pb * i11[None]) * m_u[None]
+
+                ang_lm = _wrap(_atan2(ddy, ddx) - thv)
+                nu_r = rn - dist - w_r
+                nu_b = bn - ang_lm - w_b
+                if wrap_innov:
+                    nu_b = _wrap(nu_b)
+
+                x_new = x_ref[:, :] + k0[:, 0, :] * nu_r + k1[:, 0, :] * nu_b
+                x_ref[:, :] = x_new
+                x_ref[2:3, :] = _wrap(x_new[2:3, :])
+                # P -= K (H P), one fused rank-2 pass (the only O(D^2) op per
+                # landmark). HP must be computed honestly as row combinations:
+                # substituting (P H^T)^T flips the sign of the antisymmetric
+                # rounding residue of P, turning the update's contraction of
+                # that residue (A' ~ (I-KH) A) into exponential amplification
+                # (A' ~ A + KHA) — observed as smooth fp32 divergence over a
+                # few hundred ticks.
+                r0 = p_ref[0, :, :]
+                r1 = p_ref[1, :, :]
+                r2 = p_ref[2, :, :]
+                rl0 = p_ref[li, :, :]
+                rl1 = p_ref[li + 1, :, :]
+                hp0 = (rl0 - r0) * a_r + (rl1 - r1) * b_r  # (DP, BL)
+                hp1 = (r0 - rl0) * a_b + (rl1 - r1) * b_b - r2
+                p_ref[:, :, :] = (
+                    p_ref[:, :, :]
+                    - k0 * hp0[None]
+                    - k1 * hp1[None]
+                )
+
+                # ------- landmark insertion (ekf.cpp:141-173)
+                xv = x_ref[0:1, :]
+                yv = x_ref[1:2, :]
+                thv = x_ref[2:3, :]
+                tb = thv + bn
+                ct = jnp.cos(tb)
+                st = jnp.sin(tb)
+                sx = xv + rn * ct
+                sy = yv + rn * st
+                x_ref[li:li + 1, :] = jnp.where(m_i > 0, sx, x_ref[li:li + 1, :])
+                x_ref[li + 1:li + 2, :] = jnp.where(
+                    m_i > 0, sy, x_ref[li + 1:li + 2, :]
+                )
+                ga = -rn * st  # G_x(0,2) = G_z(0,1)
+                gb = rn * ct   # G_x(1,2) = G_z(1,1)
+                # new rows = G_x P[0:3, :]
+                nr0 = p_ref[0, :, :] + ga * p_ref[2, :, :]
+                nr1 = p_ref[1, :, :] + gb * p_ref[2, :, :]
+                # new 2x2 block = G_x P33 G_x^T + G_z W G_z^T (uses OLD P cols)
+                p00 = p_ref[0, 0:1, :]
+                p01 = p_ref[0, 1:2, :]
+                p02 = p_ref[0, 2:3, :]
+                p11 = p_ref[1, 1:2, :]
+                p12 = p_ref[1, 2:3, :]
+                p22 = p_ref[2, 2:3, :]
+                blk00 = (
+                    p00 + 2.0 * ga * p02 + ga * ga * p22
+                    + ct * ct * w00f + ga * ga * w11f
+                )
+                blk01 = (
+                    p01 + gb * p02 + ga * p12 + ga * gb * p22
+                    + ct * st * w00f + ga * gb * w11f
+                )
+                blk11 = (
+                    p11 + 2.0 * gb * p12 + gb * gb * p22
+                    + st * st * w00f + gb * gb * w11f
+                )
+                ins = m_i > 0
+                # write rows li, li+1 (masked), then matching columns, then
+                # the 2x2 block
+                p_ref[li, :, :] = jnp.where(ins, nr0, p_ref[li, :, :])
+                p_ref[li + 1, :, :] = jnp.where(ins, nr1, p_ref[li + 1, :, :])
+                p_ref[:, li:li + 1, :] = jnp.where(
+                    ins[None], nr0[:, None, :], p_ref[:, li:li + 1, :]
+                )
+                p_ref[:, li + 1:li + 2, :] = jnp.where(
+                    ins[None], nr1[:, None, :], p_ref[:, li + 1:li + 2, :]
+                )
+                p_ref[li, li:li + 1, :] = jnp.where(ins, blk00, p_ref[li, li:li + 1, :])
+                p_ref[li, li + 1:li + 2, :] = jnp.where(
+                    ins, blk01, p_ref[li, li + 1:li + 2, :]
+                )
+                p_ref[li + 1, li:li + 1, :] = jnp.where(
+                    ins, blk01, p_ref[li + 1, li:li + 1, :]
+                )
+                p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
+                    ins, blk11, p_ref[li + 1, li + 1:li + 2, :]
+                )
+                seen_ref[j:j + 1, :] = jnp.maximum(seenj, visj)
+
+            # ---- error metric (plotting_node.py:195-218), online
+            ex = x_ref[0:1, :] - stats_ref[1:2, :]
+            ey = x_ref[1:2, :] - stats_ref[2:3, :]
+            stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+            return 0
+
+        jax.lax.fori_loop(0, t_total, tick, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_worlds", "interpret")
+)
+def fused_ekf_rollout(
+    cfg: Config, landmarks, cmds, seed, block_worlds: int = 128,
+    interpret: bool = False, noise=None,
+):
+    """Run the full T-step sim+EKF rollout for a world batch in one kernel.
+
+    landmarks: (B, N, 2) true maps; cmds: (B, T, 2) commanded odometry;
+    seed: () int32 PRNG seed. Returns a dict with per-world err_sum, final
+    true pose, final filter state (x (B, D), P (B, D, D)), and seen mask.
+    """
+    if not cfg.constraints.measurements.landmark_id_is_known:
+        raise ValueError("fused rollout requires known landmark ids")
+    b, n_lm, _ = landmarks.shape
+    t_total = cmds.shape[1]
+    bl = block_worlds
+    if b % bl != 0:
+        raise ValueError(f"batch {b} must be a multiple of block_worlds {bl}")
+    d = 3 + 2 * n_lm
+    dp = _round_up(d, 8)
+
+    cmds_t = jnp.transpose(cmds, (1, 2, 0)).astype(jnp.float32)  # (T, 2, B)
+    lms_t = jnp.transpose(landmarks, (1, 2, 0)).astype(jnp.float32)  # (N,2,B)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    kernel = _make_kernel(cfg, n_lm, t_total, dp, bl, inject_noise=noise is not None)
+    in_specs = [
+        pl.BlockSpec((t_total, 2, bl), lambda i, *_: (0, 0, i)),
+        pl.BlockSpec((n_lm, 2, bl), lambda i, *_: (0, 0, i)),
+    ]
+    inputs = [seed_arr, cmds_t, lms_t]
+    if noise is not None:
+        # (T, 2N+8, B) pre-generated noise in [-1, 1) for replay/debugging
+        in_specs.append(
+            pl.BlockSpec((t_total, 2 * n_lm + 8, bl), lambda i, *_: (0, 0, i))
+        )
+        inputs.append(jnp.asarray(noise, jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bl,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((8, bl), lambda i, *_: (0, i)),
+            pl.BlockSpec((dp, bl), lambda i, *_: (0, i)),
+            pl.BlockSpec((dp, dp, bl), lambda i, *_: (0, 0, i)),
+            pl.BlockSpec((n_lm, bl), lambda i, *_: (0, i)),
+        ],
+    )
+    stats, x_out, p_out, seen = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, b), jnp.float32),
+            jax.ShapeDtypeStruct((dp, b), jnp.float32),
+            jax.ShapeDtypeStruct((dp, dp, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_lm, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    return {
+        "err_sum": stats[0],
+        "true_pose": jnp.transpose(stats[1:4], (1, 0)),
+        "x": jnp.transpose(x_out, (1, 0))[:, :d],
+        "P": jnp.transpose(p_out, (2, 0, 1))[:, :d, :d],
+        "seen": jnp.transpose(seen, (1, 0)) > 0.5,
+    }

@@ -37,7 +37,7 @@ def propagate_truth(cfg: Config, pose, cmd, key):
     Noise is *uniform* U(-V, V) (not Gaussian), commands are clamped to the
     constraints, and the true heading is deliberately left unwrapped.
     """
-    u = jax.random.uniform(key, (2,), jnp.float32, -1.0, 1.0)
+    u = cfg.sim_noise_scale * jax.random.uniform(key, (2,), jnp.float32, -1.0, 1.0)
     d = cmd[0] + cfg.process_noise.V_00 * u[0]
     hdg = cmd[1] + cfg.process_noise.V_11 * u[1]
     d = jnp.clip(d, 0.0, cfg.constraints.commands.d_max)
@@ -68,7 +68,7 @@ def sense(cfg: Config, world: WorldState, pose, key) -> Measurements:
         & (beta < cfg.constraints.vision.fov_max)
         & (jnp.arange(n_cap) < world.num_landmarks)
     )
-    u = jax.random.uniform(key, (2, n_cap), jnp.float32, -1.0, 1.0)
+    u = cfg.sim_noise_scale * jax.random.uniform(key, (2, n_cap), jnp.float32, -1.0, 1.0)
     r_noisy = r + cfg.sensing_noise.W_00 * u[0]
     b_noisy = beta + cfg.sensing_noise.W_11 * u[1]
     ids = jnp.arange(n_cap, dtype=jnp.int32)

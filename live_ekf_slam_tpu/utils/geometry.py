@@ -1,20 +1,24 @@
 """SE(2) / angle utilities shared by the simulator, filters and planners.
 
 The reference wraps every heading with C's ``remainder(theta, 2*pi)``
-(ekf.cpp:59,129,139; sim_node.py:128,237; filter.h:347), which maps to the
-nearest-integer remainder — identical to ``atan2(sin t, cos t)`` for finite
-inputs. We use the trig form: it is branch-free, vectorizes on the VPU, and is
-exact at the +/-pi boundary in the same way.
+(ekf.cpp:59,129,139; sim_node.py:128,237; filter.h:347). IEEE remainder is
+exactly ``theta - 2*pi*rint(theta / (2*pi))`` with round-half-to-even, which
+is what ``jnp.round`` implements — so the formula below matches the C
+semantics bit-for-bit up to fp32 rounding, is branch-free, and costs one
+multiply-round-fma on the VPU (vs three transcendentals for the
+atan2(sin, cos) alternative).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+_TWO_PI = 6.283185307179586
+
 
 def wrap_angle(theta):
-    """Wrap angle(s) to (-pi, pi]; elementwise, jit/vmap-safe."""
-    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+    """Wrap angle(s) to [-pi, pi] (C remainder(theta, 2pi)); jit/vmap-safe."""
+    return theta - _TWO_PI * jnp.round(theta / _TWO_PI)
 
 
 def yaw_to_mat(theta):
