@@ -108,8 +108,8 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
-                 inject_noise: bool = False):
+def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
+                 inject_noise: bool = False, profile_mode: str = "full"):
     """Builds the kernel body, specialized on the static config."""
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
     nz = cfg.sim_noise_scale
@@ -135,22 +135,27 @@ def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
         else:
             stats_ref, x_ref, p_ref, seen_ref = rest
         blk = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + blk)
+        tc = pl.program_id(1)
+        # distinct PRNG stream per (world-block, time-chunk)
+        pltpu.prng_seed(seed_ref[0] + blk * 1000003 + tc * 7919)
 
-        # ---- init state in the output refs (they are our VMEM working set)
-        x_ref[:, :] = jnp.zeros((dp, bl), jnp.float32)
-        x_ref[0:1, :] = jnp.full((1, bl), x0, jnp.float32)
-        x_ref[1:2, :] = jnp.full((1, bl), y0, jnp.float32)
-        x_ref[2:3, :] = jnp.full((1, bl), yaw0, jnp.float32)
-        p_ref[:, :, :] = jnp.zeros((dp, dp, bl), jnp.float32)
-        for i, v in enumerate(_P0):
-            p_ref[i, i:i + 1, :] = jnp.full((1, bl), v, jnp.float32)
-        seen_ref[:, :] = jnp.zeros((n_lm, bl), jnp.float32)
-        # stats rows: 0 err_sum, 1 tx, 2 ty, 3 tth
-        stats_ref[:, :] = jnp.zeros((8, bl), jnp.float32)
-        stats_ref[1:2, :] = jnp.full((1, bl), x0, jnp.float32)
-        stats_ref[2:3, :] = jnp.full((1, bl), y0, jnp.float32)
-        stats_ref[3:4, :] = jnp.full((1, bl), yaw0, jnp.float32)
+        # ---- first chunk of each block: init state in the output refs (the
+        # out blocks are revisited across time-chunks, staying in VMEM)
+        @pl.when(tc == 0)
+        def _init():
+            x_ref[:, :] = jnp.zeros((dp, bl), jnp.float32)
+            x_ref[0:1, :] = jnp.full((1, bl), x0, jnp.float32)
+            x_ref[1:2, :] = jnp.full((1, bl), y0, jnp.float32)
+            x_ref[2:3, :] = jnp.full((1, bl), yaw0, jnp.float32)
+            p_ref[:, :, :] = jnp.zeros((dp, dp, bl), jnp.float32)
+            for i, v in enumerate(_P0):
+                p_ref[i, i:i + 1, :] = jnp.full((1, bl), v, jnp.float32)
+            seen_ref[:, :] = jnp.zeros((n_lm, bl), jnp.float32)
+            # stats rows: 0 err_sum, 1 tx, 2 ty, 3 tth
+            stats_ref[:, :] = jnp.zeros((8, bl), jnp.float32)
+            stats_ref[1:2, :] = jnp.full((1, bl), x0, jnp.float32)
+            stats_ref[2:3, :] = jnp.full((1, bl), y0, jnp.float32)
+            stats_ref[3:4, :] = jnp.full((1, bl), yaw0, jnp.float32)
 
         lx = lms_ref[:, 0, :]  # (N, BL) true landmark x
         ly = lms_ref[:, 1, :]
@@ -191,6 +196,11 @@ def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
             bn_all = beta + w11s * u[2 + n_lm: 2 + 2 * n_lm, :]
 
             # ---- EKF predict (ekf.cpp:41-61) via rank-1 structure
+            if profile_mode == "sim":
+                ex = x_ref[0:1, :] - stats_ref[1:2, :]
+                ey = x_ref[1:2, :] - stats_ref[2:3, :]
+                stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+                return 0
             th = x_ref[2:3, :]
             c = jnp.cos(th)
             s = jnp.sin(th)
@@ -217,158 +227,181 @@ def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
                 x_committed = x_ref[:, :]  # value snapshot before updates
 
             # ---- sequential per-landmark update/insertion (ekf.cpp:73-174)
-            for j in range(n_lm):
+            # profile_mode: "full" | "downdate" (skip scalar algebra) |
+            # "nolm" (skip the loop) | "sim" (skip predict+loop) — used to
+            # attribute per-tick time between phases.
+            n_loop = 0 if profile_mode in ("nolm", "sim") else n_lm
+            # gates precomputed for the whole tick: landmark j's seen-state
+            # can only change at its own loop iteration, so tick-start `seen`
+            # is correct for every j. One vectorized lane-reduction yields all
+            # 2N scalar predicates instead of 2N cross-lane reductions.
+            seen_now = seen_ref[:, :]
+            m_u_all = vis * seen_now           # update gates (N, BL)
+            m_i_all = vis * (1.0 - seen_now)   # insertion gates
+            upd_any_vec = jnp.max(m_u_all, axis=1, keepdims=True)  # (N, 1)
+            ins_any_vec = jnp.max(m_i_all, axis=1, keepdims=True)
+            for j in range(n_loop):
                 li = 3 + 2 * j
                 visj = vis[j:j + 1, :]
-                seenj = seen_ref[j:j + 1, :]
-                m_u = visj * seenj          # update gate
-                m_i = visj * (1.0 - seenj)  # insertion gate
+                m_u = m_u_all[j:j + 1, :]
+                m_i = m_i_all[j:j + 1, :]
                 rn = rn_all[j:j + 1, :]
                 bn = bn_all[j:j + 1, :]
 
-                # ------- landmark update (ekf.cpp:110-140)
-                xv = x_ref[0:1, :]
-                yv = x_ref[1:2, :]
-                thv = x_ref[2:3, :]
-                if stale:
-                    lmx = x_committed[li:li + 1, :]
-                    lmy = x_committed[li + 1:li + 2, :]
-                else:
-                    lmx = x_ref[li:li + 1, :]
-                    lmy = x_ref[li + 1:li + 2, :]
-                ddx = lmx - xv
-                ddy = lmy - yv
-                d2 = ddx * ddx + ddy * ddy
-                d2 = jnp.maximum(d2, 1e-12)
-                dist = jnp.sqrt(d2)
-                a_r = ddx / dist   # h_r coefficient magnitude (x)
-                b_r = ddy / dist
-                a_b = ddy / d2     # h_b coefficients
-                b_b = ddx / d2
+                # ------- landmark update (ekf.cpp:110-140), executed only
+                # when some world in the block updates this landmark (the
+                # scalar predicate costs one lane-reduction; with block-
+                # correlated visibility it skips most of the O(D^2) work)
+                upd_any = upd_any_vec[j, 0] > 0.0
 
-                c0 = p_ref[:, 0:1, :]
-                c1 = p_ref[:, 1:2, :]
-                c2 = p_ref[:, 2:3, :]
-                cl0 = p_ref[:, li:li + 1, :]
-                cl1 = p_ref[:, li + 1:li + 2, :]
-                # pr = P h_r^T, pb = P h_b^T (D, 1, BL)
-                pr = (cl0 - c0) * a_r[None] + (cl1 - c1) * b_r[None]
-                pb = (c0 - cl0) * a_b[None] + (cl1 - c1) * b_b[None] - c2
+                @pl.when(upd_any)
+                def _update():
+                    xv = x_ref[0:1, :]
+                    yv = x_ref[1:2, :]
+                    thv = x_ref[2:3, :]
+                    if stale:
+                        lmx = x_committed[li:li + 1, :]
+                        lmy = x_committed[li + 1:li + 2, :]
+                    else:
+                        lmx = x_ref[li:li + 1, :]
+                        lmy = x_ref[li + 1:li + 2, :]
+                    ddx = lmx - xv
+                    ddy = lmy - yv
+                    d2 = ddx * ddx + ddy * ddy
+                    d2 = jnp.maximum(d2, 1e-12)
+                    dist = jnp.sqrt(d2)
+                    a_r = ddx / dist   # h_r coefficient magnitude (x)
+                    b_r = ddy / dist
+                    a_b = ddy / d2     # h_b coefficients
+                    b_b = ddx / d2
 
-                # S = H (P H^T) + W, entries via the 4/5 nonzeros of H
-                s00 = (
-                    -a_r * pr[0] - b_r * pr[1] + a_r * pr[li] + b_r * pr[li + 1]
-                ) + w00f
-                s01 = (
-                    -a_r * pb[0] - b_r * pb[1] + a_r * pb[li] + b_r * pb[li + 1]
-                )
-                s10 = (
-                    a_b * pr[0] - b_b * pr[1] - pr[2]
-                    - a_b * pr[li] + b_b * pr[li + 1]
-                )
-                s11 = (
-                    a_b * pb[0] - b_b * pb[1] - pb[2]
-                    - a_b * pb[li] + b_b * pb[li + 1]
-                ) + w11f
-                det = s00 * s11 - s01 * s10
-                det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
-                i00 = s11 / det
-                i01 = -s01 / det
-                i10 = -s10 / det
-                i11 = s00 / det
+                    c0 = p_ref[:, 0:1, :]
+                    c1 = p_ref[:, 1:2, :]
+                    c2 = p_ref[:, 2:3, :]
+                    cl0 = p_ref[:, li:li + 1, :]
+                    cl1 = p_ref[:, li + 1:li + 2, :]
+                    # pr = P h_r^T, pb = P h_b^T (D, 1, BL)
+                    pr = (cl0 - c0) * a_r[None] + (cl1 - c1) * b_r[None]
+                    pb = (c0 - cl0) * a_b[None] + (cl1 - c1) * b_b[None] - c2
 
-                # K = (P H^T) S^{-1}, gated to zero for non-updating worlds
-                k0 = (pr * i00[None] + pb * i10[None]) * m_u[None]
-                k1 = (pr * i01[None] + pb * i11[None]) * m_u[None]
+                    # S = H (P H^T) + W, entries via the 4/5 nonzeros of H
+                    s00 = (
+                        -a_r * pr[0] - b_r * pr[1] + a_r * pr[li] + b_r * pr[li + 1]
+                    ) + w00f
+                    s01 = (
+                        -a_r * pb[0] - b_r * pb[1] + a_r * pb[li] + b_r * pb[li + 1]
+                    )
+                    s10 = (
+                        a_b * pr[0] - b_b * pr[1] - pr[2]
+                        - a_b * pr[li] + b_b * pr[li + 1]
+                    )
+                    s11 = (
+                        a_b * pb[0] - b_b * pb[1] - pb[2]
+                        - a_b * pb[li] + b_b * pb[li + 1]
+                    ) + w11f
+                    det = s00 * s11 - s01 * s10
+                    det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+                    i00 = s11 / det
+                    i01 = -s01 / det
+                    i10 = -s10 / det
+                    i11 = s00 / det
 
-                ang_lm = _wrap(_atan2(ddy, ddx) - thv)
-                nu_r = rn - dist - w_r
-                nu_b = bn - ang_lm - w_b
-                if wrap_innov:
-                    nu_b = _wrap(nu_b)
+                    # K = (P H^T) S^{-1}, gated to zero for non-updating worlds
+                    k0 = (pr * i00[None] + pb * i10[None]) * m_u[None]
+                    k1 = (pr * i01[None] + pb * i11[None]) * m_u[None]
 
-                x_new = x_ref[:, :] + k0[:, 0, :] * nu_r + k1[:, 0, :] * nu_b
-                x_ref[:, :] = x_new
-                x_ref[2:3, :] = _wrap(x_new[2:3, :])
-                # P -= K (H P), one fused rank-2 pass (the only O(D^2) op per
-                # landmark). HP must be computed honestly as row combinations:
-                # substituting (P H^T)^T flips the sign of the antisymmetric
-                # rounding residue of P, turning the update's contraction of
-                # that residue (A' ~ (I-KH) A) into exponential amplification
-                # (A' ~ A + KHA) — observed as smooth fp32 divergence over a
-                # few hundred ticks.
-                r0 = p_ref[0, :, :]
-                r1 = p_ref[1, :, :]
-                r2 = p_ref[2, :, :]
-                rl0 = p_ref[li, :, :]
-                rl1 = p_ref[li + 1, :, :]
-                hp0 = (rl0 - r0) * a_r + (rl1 - r1) * b_r  # (DP, BL)
-                hp1 = (r0 - rl0) * a_b + (rl1 - r1) * b_b - r2
-                p_ref[:, :, :] = (
-                    p_ref[:, :, :]
-                    - k0 * hp0[None]
-                    - k1 * hp1[None]
-                )
+                    ang_lm = _wrap(_atan2(ddy, ddx) - thv)
+                    nu_r = rn - dist - w_r
+                    nu_b = bn - ang_lm - w_b
+                    if wrap_innov:
+                        nu_b = _wrap(nu_b)
 
-                # ------- landmark insertion (ekf.cpp:141-173)
-                xv = x_ref[0:1, :]
-                yv = x_ref[1:2, :]
-                thv = x_ref[2:3, :]
-                tb = thv + bn
-                ct = jnp.cos(tb)
-                st = jnp.sin(tb)
-                sx = xv + rn * ct
-                sy = yv + rn * st
-                x_ref[li:li + 1, :] = jnp.where(m_i > 0, sx, x_ref[li:li + 1, :])
-                x_ref[li + 1:li + 2, :] = jnp.where(
-                    m_i > 0, sy, x_ref[li + 1:li + 2, :]
-                )
-                ga = -rn * st  # G_x(0,2) = G_z(0,1)
-                gb = rn * ct   # G_x(1,2) = G_z(1,1)
-                # new rows = G_x P[0:3, :]
-                nr0 = p_ref[0, :, :] + ga * p_ref[2, :, :]
-                nr1 = p_ref[1, :, :] + gb * p_ref[2, :, :]
-                # new 2x2 block = G_x P33 G_x^T + G_z W G_z^T (uses OLD P cols)
-                p00 = p_ref[0, 0:1, :]
-                p01 = p_ref[0, 1:2, :]
-                p02 = p_ref[0, 2:3, :]
-                p11 = p_ref[1, 1:2, :]
-                p12 = p_ref[1, 2:3, :]
-                p22 = p_ref[2, 2:3, :]
-                blk00 = (
-                    p00 + 2.0 * ga * p02 + ga * ga * p22
-                    + ct * ct * w00f + ga * ga * w11f
-                )
-                blk01 = (
-                    p01 + gb * p02 + ga * p12 + ga * gb * p22
-                    + ct * st * w00f + ga * gb * w11f
-                )
-                blk11 = (
-                    p11 + 2.0 * gb * p12 + gb * gb * p22
-                    + st * st * w00f + gb * gb * w11f
-                )
-                ins = m_i > 0
-                # write rows li, li+1 (masked), then matching columns, then
-                # the 2x2 block
-                p_ref[li, :, :] = jnp.where(ins, nr0, p_ref[li, :, :])
-                p_ref[li + 1, :, :] = jnp.where(ins, nr1, p_ref[li + 1, :, :])
-                p_ref[:, li:li + 1, :] = jnp.where(
-                    ins[None], nr0[:, None, :], p_ref[:, li:li + 1, :]
-                )
-                p_ref[:, li + 1:li + 2, :] = jnp.where(
-                    ins[None], nr1[:, None, :], p_ref[:, li + 1:li + 2, :]
-                )
-                p_ref[li, li:li + 1, :] = jnp.where(ins, blk00, p_ref[li, li:li + 1, :])
-                p_ref[li, li + 1:li + 2, :] = jnp.where(
-                    ins, blk01, p_ref[li, li + 1:li + 2, :]
-                )
-                p_ref[li + 1, li:li + 1, :] = jnp.where(
-                    ins, blk01, p_ref[li + 1, li:li + 1, :]
-                )
-                p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
-                    ins, blk11, p_ref[li + 1, li + 1:li + 2, :]
-                )
-                seen_ref[j:j + 1, :] = jnp.maximum(seenj, visj)
+                    x_new = x_ref[:, :] + k0[:, 0, :] * nu_r + k1[:, 0, :] * nu_b
+                    x_ref[:, :] = x_new
+                    x_ref[2:3, :] = _wrap(x_new[2:3, :])
+                    # P -= K (H P), one fused rank-2 pass (the only O(D^2) op per
+                    # landmark). HP must be computed honestly as row combinations:
+                    # substituting (P H^T)^T flips the sign of the antisymmetric
+                    # rounding residue of P, turning the update's contraction of
+                    # that residue (A' ~ (I-KH) A) into exponential amplification
+                    # (A' ~ A + KHA) — observed as smooth fp32 divergence over a
+                    # few hundred ticks.
+                    r0 = p_ref[0, :, :]
+                    r1 = p_ref[1, :, :]
+                    r2 = p_ref[2, :, :]
+                    rl0 = p_ref[li, :, :]
+                    rl1 = p_ref[li + 1, :, :]
+                    hp0 = (rl0 - r0) * a_r + (rl1 - r1) * b_r  # (DP, BL)
+                    hp1 = (r0 - rl0) * a_b + (rl1 - r1) * b_b - r2
+                    p_ref[:, :, :] = (
+                        p_ref[:, :, :]
+                        - k0 * hp0[None]
+                        - k1 * hp1[None]
+                    )
+
+                # ------- landmark insertion (ekf.cpp:141-173), predicated
+                ins_any = ins_any_vec[j, 0] > 0.0
+
+                @pl.when(ins_any)
+                def _insert():
+                    xv = x_ref[0:1, :]
+                    yv = x_ref[1:2, :]
+                    thv = x_ref[2:3, :]
+                    tb = thv + bn
+                    ct = jnp.cos(tb)
+                    st = jnp.sin(tb)
+                    sx = xv + rn * ct
+                    sy = yv + rn * st
+                    x_ref[li:li + 1, :] = jnp.where(m_i > 0, sx, x_ref[li:li + 1, :])
+                    x_ref[li + 1:li + 2, :] = jnp.where(
+                        m_i > 0, sy, x_ref[li + 1:li + 2, :]
+                    )
+                    ga = -rn * st  # G_x(0,2) = G_z(0,1)
+                    gb = rn * ct   # G_x(1,2) = G_z(1,1)
+                    # new rows = G_x P[0:3, :]
+                    nr0 = p_ref[0, :, :] + ga * p_ref[2, :, :]
+                    nr1 = p_ref[1, :, :] + gb * p_ref[2, :, :]
+                    # new 2x2 block = G_x P33 G_x^T + G_z W G_z^T (uses OLD P cols)
+                    p00 = p_ref[0, 0:1, :]
+                    p01 = p_ref[0, 1:2, :]
+                    p02 = p_ref[0, 2:3, :]
+                    p11 = p_ref[1, 1:2, :]
+                    p12 = p_ref[1, 2:3, :]
+                    p22 = p_ref[2, 2:3, :]
+                    blk00 = (
+                        p00 + 2.0 * ga * p02 + ga * ga * p22
+                        + ct * ct * w00f + ga * ga * w11f
+                    )
+                    blk01 = (
+                        p01 + gb * p02 + ga * p12 + ga * gb * p22
+                        + ct * st * w00f + ga * gb * w11f
+                    )
+                    blk11 = (
+                        p11 + 2.0 * gb * p12 + gb * gb * p22
+                        + st * st * w00f + gb * gb * w11f
+                    )
+                    ins = m_i > 0
+                    # write rows li, li+1 (masked), then matching columns, then
+                    # the 2x2 block
+                    p_ref[li, :, :] = jnp.where(ins, nr0, p_ref[li, :, :])
+                    p_ref[li + 1, :, :] = jnp.where(ins, nr1, p_ref[li + 1, :, :])
+                    p_ref[:, li:li + 1, :] = jnp.where(
+                        ins[None], nr0[:, None, :], p_ref[:, li:li + 1, :]
+                    )
+                    p_ref[:, li + 1:li + 2, :] = jnp.where(
+                        ins[None], nr1[:, None, :], p_ref[:, li + 1:li + 2, :]
+                    )
+                    p_ref[li, li:li + 1, :] = jnp.where(ins, blk00, p_ref[li, li:li + 1, :])
+                    p_ref[li, li + 1:li + 2, :] = jnp.where(
+                        ins, blk01, p_ref[li, li + 1:li + 2, :]
+                    )
+                    p_ref[li + 1, li:li + 1, :] = jnp.where(
+                        ins, blk01, p_ref[li + 1, li:li + 1, :]
+                    )
+                    p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
+                        ins, blk11, p_ref[li + 1, li + 1:li + 2, :]
+                    )
+                seen_ref[j:j + 1, :] = jnp.maximum(seen_now[j:j + 1, :], visj)
 
             # ---- error metric (plotting_node.py:195-218), online
             ex = x_ref[0:1, :] - stats_ref[1:2, :]
@@ -376,23 +409,29 @@ def _make_kernel(cfg: Config, n_lm: int, t_total: int, dp: int, bl: int,
             stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
             return 0
 
-        jax.lax.fori_loop(0, t_total, tick, 0)
+        jax.lax.fori_loop(0, t_chunk, tick, 0)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block_worlds", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "block_worlds", "interpret", "profile_mode", "t_chunk"),
 )
 def fused_ekf_rollout(
-    cfg: Config, landmarks, cmds, seed, block_worlds: int = 128,
-    interpret: bool = False, noise=None,
+    cfg: Config, landmarks, cmds, seed, block_worlds: int = 256,
+    interpret: bool = False, noise=None, profile_mode: str = "full",
+    t_chunk: int = 125,
 ):
     """Run the full T-step sim+EKF rollout for a world batch in one kernel.
 
     landmarks: (B, N, 2) true maps; cmds: (B, T, 2) commanded odometry;
     seed: () int32 PRNG seed. Returns a dict with per-world err_sum, final
     true pose, final filter state (x (B, D), P (B, D, D)), and seen mask.
+
+    Grid = (world blocks, time chunks): the state lives in the revisited
+    output blocks (VMEM-resident across chunks) while the command stream is
+    pipelined in chunk-sized pieces, so VMEM holds O(P) not O(T).
     """
     if not cfg.constraints.measurements.landmark_id_is_known:
         raise ValueError("fused rollout requires known landmark ids")
@@ -401,6 +440,10 @@ def fused_ekf_rollout(
     bl = block_worlds
     if b % bl != 0:
         raise ValueError(f"batch {b} must be a multiple of block_worlds {bl}")
+    if t_total % t_chunk != 0:
+        # fall back to one chunk for awkward T (compile-time choice)
+        t_chunk = t_total
+    n_chunks = t_total // t_chunk
     d = 3 + 2 * n_lm
     dp = _round_up(d, 8)
 
@@ -408,27 +451,32 @@ def fused_ekf_rollout(
     lms_t = jnp.transpose(landmarks, (1, 2, 0)).astype(jnp.float32)  # (N,2,B)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    kernel = _make_kernel(cfg, n_lm, t_total, dp, bl, inject_noise=noise is not None)
+    kernel = _make_kernel(
+        cfg, n_lm, t_chunk, dp, bl,
+        inject_noise=noise is not None, profile_mode=profile_mode,
+    )
     in_specs = [
-        pl.BlockSpec((t_total, 2, bl), lambda i, *_: (0, 0, i)),
-        pl.BlockSpec((n_lm, 2, bl), lambda i, *_: (0, 0, i)),
+        pl.BlockSpec((t_chunk, 2, bl), lambda i, tc, *_: (tc, 0, i)),
+        pl.BlockSpec((n_lm, 2, bl), lambda i, tc, *_: (0, 0, i)),
     ]
     inputs = [seed_arr, cmds_t, lms_t]
     if noise is not None:
         # (T, 2N+8, B) pre-generated noise in [-1, 1) for replay/debugging
         in_specs.append(
-            pl.BlockSpec((t_total, 2 * n_lm + 8, bl), lambda i, *_: (0, 0, i))
+            pl.BlockSpec(
+                (t_chunk, 2 * n_lm + 8, bl), lambda i, tc, *_: (tc, 0, i)
+            )
         )
         inputs.append(jnp.asarray(noise, jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // bl,),
+        grid=(b // bl, n_chunks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, bl), lambda i, *_: (0, i)),
-            pl.BlockSpec((dp, bl), lambda i, *_: (0, i)),
-            pl.BlockSpec((dp, dp, bl), lambda i, *_: (0, 0, i)),
-            pl.BlockSpec((n_lm, bl), lambda i, *_: (0, i)),
+            pl.BlockSpec((8, bl), lambda i, tc, *_: (0, i)),
+            pl.BlockSpec((dp, bl), lambda i, tc, *_: (0, i)),
+            pl.BlockSpec((dp, dp, bl), lambda i, tc, *_: (0, 0, i)),
+            pl.BlockSpec((n_lm, bl), lambda i, tc, *_: (0, i)),
         ],
     )
     stats, x_out, p_out, seen = pl.pallas_call(
