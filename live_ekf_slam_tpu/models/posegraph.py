@@ -149,7 +149,7 @@ def update(cfg: Config, s: PoseGraphState, cmd, meas: Measurements) -> PoseGraph
 # Gauss-Newton / Levenberg-Marquardt solve
 # ----------------------------------------------------------------------
 
-def _noise_sigmas(cfg: Config):
+def _noise_sigmas(cfg: Config, meas_scale: float = 1.0):
     (v00, v11), (w00, w11) = cfg.filter_noise()
     if cfg.compat.pg_variances_as_sigmas:
         # GTSAM models are built from variances passed as sigmas
@@ -164,12 +164,13 @@ def _noise_sigmas(cfg: Config):
         s3 = 3.0 ** 0.5
         odom_s = (v00 / s3, 1e-3, v11 / s3)
         meas_s = (w11 / s3, w00 / s3)
+    meas_s = (meas_s[0] * meas_scale, meas_s[1] * meas_scale)
     return odom_s, meas_s
 
 
-def _residuals(cfg: Config, s: PoseGraphState, poses, lms):
+def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """All whitened residuals + masks, vectorized over factors."""
-    odom_s, meas_s = _noise_sigmas(cfg)
+    odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
     prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
 
     # prior on pose 0
@@ -219,23 +220,25 @@ def _residuals(cfg: Config, s: PoseGraphState, poses, lms):
     return r_prior, r_odom, r_meas, rng_safe, (mdx, mdy)
 
 
-def graph_error(cfg: Config, s: PoseGraphState, poses, lms):
+def graph_error(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """0.5 * sum of squared whitened residuals (GTSAM's error convention)."""
-    r_prior, r_odom, r_meas, _, _ = _residuals(cfg, s, poses, lms)
+    r_prior, r_odom, r_meas, _, _ = _residuals(cfg, s, poses, lms, meas_scale)
     return 0.5 * (
         jnp.sum(r_prior ** 2) + jnp.sum(r_odom ** 2) + jnp.sum(r_meas ** 2)
     )
 
 
-def _assemble(cfg: Config, s: PoseGraphState, poses, lms):
+def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """Dense damped-GN system: returns (H, g) with H = J^T J, g = -J^T r."""
     t_cap = s.odom.shape[0]
     n_cap = s.lms_init.shape[0]
     dim = 3 * (t_cap + 1) + 2 * n_cap
-    odom_s, meas_s = _noise_sigmas(cfg)
+    odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
     prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
 
-    r_prior, r_odom, r_meas, rng_safe, (mdx, mdy) = _residuals(cfg, s, poses, lms)
+    r_prior, r_odom, r_meas, rng_safe, (mdx, mdy) = _residuals(
+        cfg, s, poses, lms, meas_scale
+    )
 
     h = jnp.zeros((dim, dim), jnp.float32)
     g = jnp.zeros(dim, jnp.float32)
@@ -338,11 +341,24 @@ def _assemble(cfg: Config, s: PoseGraphState, poses, lms):
 
 def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     """LM optimization (pose_graph.cpp:283-284, GTSAM LevenbergMarquardt
-    defaults: lambda0=1e-5, factor=10). Returns (poses, lms, final_error)."""
+    defaults: lambda0=1e-5, factor=10). Returns (poses, lms, final_error).
+
+    Graduated non-convexity: the tight bearing sigmas of the honest noise
+    model create wrap local minima when initialized far from the optimum, so
+    the solve runs in stages with the measurement sigmas relaxed 16x/4x/1x —
+    each stage warm-starting the next.
+    """
     pg = cfg.pose_graph
     poses = s.poses_init if poses0 is None else poses0
     lms = s.lms_init if lms0 is None else lms0
-    err0 = graph_error(cfg, s, poses, lms)
+    for scale in (16.0, 4.0, 1.0):
+        poses, lms, err = _solve_stage(cfg, s, poses, lms, scale)
+    return poses, lms, err
+
+
+def _solve_stage(cfg: Config, s: PoseGraphState, poses, lms, meas_scale):
+    pg = cfg.pose_graph
+    err0 = graph_error(cfg, s, poses, lms, meas_scale)
     dim = 3 * poses.shape[0] + 2 * lms.shape[0]
 
     def cond(carry):
@@ -351,7 +367,7 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
 
     def body(carry):
         poses, lms, lam, it, done, err = carry
-        h, g, var_active = _assemble(cfg, s, poses, lms)
+        h, g, var_active = _assemble(cfg, s, poses, lms, meas_scale)
         hd = h + lam * jnp.eye(dim, dtype=jnp.float32)
         # Jacobi (symmetric diagonal) preconditioning: the whitened normal
         # equations span ~8 orders of magnitude (odometry weights 1/sigma^2 vs
@@ -372,7 +388,7 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
         poses_new = poses + d_poses
         poses_new = poses_new.at[:, 2].set(wrap_angle(poses_new[:, 2]))
         lms_new = lms + d_lms
-        err_new = graph_error(cfg, s, poses_new, lms_new)
+        err_new = graph_error(cfg, s, poses_new, lms_new, meas_scale)
         accept = err_new < err
         bad = ~jnp.isfinite(err_new)
         accept = accept & ~bad

@@ -65,27 +65,36 @@ def test_lm_converges_to_global_optimum():
         process_noise=cfg.process_noise.__class__(V_00=0.02, V_11=0.02)
     )
     batch = 2
-    res, final, outs = _built_graph(cfg, batch=batch, seed=5)
+    seed = 5
+    res, final, outs = _built_graph(cfg, batch=batch, seed=seed)
     true_poses = np.asarray(outs[0])  # (B, T, 3)
+    # recover the true landmark maps (same generator+seed as the runner)
+    from live_ekf_slam_tpu.sim import maps as sim_maps
+
+    lms_world = sim_maps.random_landmarks_batched(
+        cfg, np.random.default_rng(seed), batch
+    )
     solve = jax.jit(lambda s: posegraph.solve(cfg, s))
     solve_from = jax.jit(lambda s, p, l: posegraph.solve(cfg, s, p, l))
-    t = cfg.num_iterations
     for w in range(batch):
         s = jax.tree.map(lambda a: a[w], final.primary)
         err0 = float(posegraph.graph_error(cfg, s, s.poses_init, s.lms_init))
         poses, lms, err = solve(s)
         assert float(err) < err0
-        # error at the ground-truth configuration upper-bounds the optimum
+        # ground-truth configuration (true poses AND true landmark positions,
+        # mapped id->slot) upper-bounds the optimum
         poses_truth = jnp.concatenate(
             [s.poses_init[:1], jnp.asarray(true_poses[w])], axis=0
         )
+        ids = np.clip(np.asarray(s.ids), 0, lms_world.shape[1] - 1)
+        lms_truth = jnp.asarray(lms_world[w][ids])
         err_truth = float(
-            posegraph.graph_error(cfg, s, poses_truth, s.lms_init)
+            posegraph.graph_error(cfg, s, poses_truth, lms_truth)
         )
         assert float(err) < err_truth
         # solving from truth lands at (essentially) the same optimum
-        _, _, err2 = solve_from(s, poses_truth, s.lms_init)
-        assert abs(float(err2) - float(err)) / max(float(err), 1e-6) < 0.25
+        _, _, err2 = solve_from(s, poses_truth, lms_truth)
+        assert abs(float(err2) - float(err)) / max(float(err), 1.0) < 0.25
 
 
 @pytest.mark.skipif(
