@@ -57,9 +57,11 @@ _P0 = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005)
 
 
 def _rint(x):
-    """Round-half-to-even for |x| < 2^22, branch-free (the 1.5*2^23 trick)."""
-    big = jnp.float32(12582912.0)  # 1.5 * 2**23
-    return (x + big) - big
+    """Round-half-to-even. jnp.round lowers fine in Mosaic; the classic
+    (x + 1.5*2^23) - 1.5*2^23 magic-number trick is NOT safe here because the
+    pallas interpreter evaluates f32 ops at higher precision, where the trick
+    degenerates to the identity (and _wrap then zeroes every heading)."""
+    return jnp.round(x)
 
 
 def _wrap(t):
@@ -109,7 +111,8 @@ def _round_up(x, m):
 
 
 def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
-                 inject_noise: bool = False, profile_mode: str = "full"):
+                 inject_noise: bool = False, profile_mode: str = "full",
+                 predicated: bool = True):
     """Builds the kernel body, specialized on the static config."""
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
     nz = cfg.sim_noise_scale
@@ -136,8 +139,11 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
             stats_ref, x_ref, p_ref, seen_ref = rest
         blk = pl.program_id(0)
         tc = pl.program_id(1)
-        # distinct PRNG stream per (world-block, time-chunk)
-        pltpu.prng_seed(seed_ref[0] + blk * 1000003 + tc * 7919)
+        if not inject_noise:
+            # distinct PRNG stream per (world-block, time-chunk); with
+            # injected noise the PRNG is unused (and unavailable in
+            # CPU interpret mode)
+            pltpu.prng_seed(seed_ref[0] + blk * 1000003 + tc * 7919)
 
         # ---- first chunk of each block: init state in the output refs (the
         # out blocks are revisited across time-chunks, staying in VMEM)
@@ -252,7 +258,7 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                 # when some world in the block updates this landmark (the
                 # scalar predicate costs one lane-reduction; with block-
                 # correlated visibility it skips most of the O(D^2) work)
-                upd_any = upd_any_vec[j, 0] > 0.0
+                upd_any = (upd_any_vec[j, 0] > 0.0) if predicated else True
 
                 @pl.when(upd_any)
                 def _update():
@@ -340,7 +346,7 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     )
 
                 # ------- landmark insertion (ekf.cpp:141-173), predicated
-                ins_any = ins_any_vec[j, 0] > 0.0
+                ins_any = (ins_any_vec[j, 0] > 0.0) if predicated else True
 
                 @pl.when(ins_any)
                 def _insert():
@@ -454,6 +460,10 @@ def fused_ekf_rollout(
     kernel = _make_kernel(
         cfg, n_lm, t_chunk, dp, bl,
         inject_noise=noise is not None, profile_mode=profile_mode,
+        # the section predicates are a pure skip-work optimization (masked
+        # gains already make skipped updates exact no-ops); the interpreter
+        # mishandles value-dependent pl.when, so run unpredicated there
+        predicated=not interpret,
     )
     in_specs = [
         pl.BlockSpec((t_chunk, 2, bl), lambda i, tc, *_: (tc, 0, i)),
