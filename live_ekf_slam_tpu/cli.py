@@ -1,0 +1,201 @@
+"""Command-line entry points — the reference's launch files as presets.
+
+    python -m live_ekf_slam_tpu.cli filter_demo_live --filter ekf_slam
+    python -m live_ekf_slam_tpu.cli filter_demo_results_only --filter ukf_slam
+    python -m live_ekf_slam_tpu.cli igvc1
+    python -m live_ekf_slam_tpu.cli monte_carlo --batch 256 --runs-dir data/run1
+    python -m live_ekf_slam_tpu.cli bar_graphs --data-dir data --plots-dir plots
+
+Mirrors base_pkg/launch/{sim_base,filter_demo_live,filter_demo_results_only,
+igvc1}.launch with their positional-arg overrides (occ_map_img, landmark_map,
+precompute_trajectory, use_local_planner, tight_control, timer_period,
+plot_result_only), plus an existing params.yaml via --params.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _build_cfg(args):
+    from live_ekf_slam_tpu.config import Config, load_config, preset
+
+    base = load_config(args.params) if args.params else Config()
+    cfg = preset(args.preset, base) if args.preset != "monte_carlo" else base
+    over = {}
+    if args.filter:
+        over["filter"] = args.filter
+    if args.landmark_map:
+        over["landmark_map"] = args.landmark_map
+    if args.occ_map_img:
+        over["occ_map_img"] = args.occ_map_img
+    if args.steps:
+        over["num_iterations"] = args.steps
+    if args.plot_result_only:
+        over["plot_result_only"] = True
+    if over:
+        cfg = cfg.replace(**over)
+    return cfg
+
+
+def _frame_from_state(cfg, name, state, t, true_pose, est_pose, path=None):
+    from live_ekf_slam_tpu.viz.live import Frame
+
+    lm = cov = sig = None
+    if name in ("ekf_slam", "ukf_slam", "ukf_loc"):
+        m = int(state.M)
+        cov = np.asarray(state.P)
+        ids = np.asarray(state.ids)[:m]
+        base = 3 if name == "ekf_slam" else 4
+        xs = np.asarray(state.x)
+        lm = np.array(
+            [[ids[i], xs[base + 2 * i], xs[base + 2 * i + 1]] for i in range(m)]
+        ) if m else np.zeros((0, 3))
+        if hasattr(state, "X"):
+            sig = np.asarray(state.X)
+    return Frame(
+        timestep=t,
+        true_pose=np.asarray(true_pose),
+        est_pose=np.asarray(est_pose),
+        landmarks=lm,
+        cov=cov,
+        sigma_pts=sig,
+        path=path,
+    )
+
+
+def run_demo(cfg, seed=0, live=True, base_dir=None):
+    """filter_demo_{live,results_only}: one world, precomputed TSP trajectory,
+    online filter, viewer."""
+    import jax
+    import jax.numpy as jnp
+
+    from live_ekf_slam_tpu.eval import runner as R
+    from live_ekf_slam_tpu.sim import maps as sim_maps
+    from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
+    from live_ekf_slam_tpu.viz.live import LiveViewer
+
+    rng = np.random.default_rng(seed)
+    occ, color = sim_maps.load_occ_map(cfg)
+    lms, n_active = sim_maps.make_landmarks(cfg, rng, occ)
+    cfg = cfg.replace(num_landmark_slots=n_active, num_meas_slots=n_active)
+    lms_j = jnp.asarray(lms)
+
+    cmds = generate_trajectory(cfg, lms_j, n_active, jax.random.PRNGKey(seed))
+    carry = R.init_carry(cfg, lms_j, n_active)
+    step = jax.jit(R.make_step(cfg, collect="poses"))
+
+    viewer = LiveViewer(cfg, color_map=color, true_landmarks=lms)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), cfg.num_iterations)
+    pg_states = []
+    for t in range(cfg.num_iterations):
+        carry, (tp, ep) = step(carry, (cmds[t], keys[t]))
+        if live or t + 1 >= cfg.num_iterations:
+            name = cfg.filter
+            state = carry.primary if name != "pose_graph" else carry.secondary
+            state_name = (
+                cfg.pose_graph.filter_to_compare
+                if name == "pose_graph" else name
+            )
+            frame = _frame_from_state(
+                cfg, state_name, state, t + 1, np.asarray(tp), np.asarray(ep)
+            )
+            if name == "pose_graph" and t + 1 >= cfg.num_iterations:
+                from live_ekf_slam_tpu.models import posegraph
+
+                poses, lms_sol, _ = jax.jit(
+                    lambda s: posegraph.solve(cfg, s)
+                )(carry.primary)
+                ts = int(carry.primary.timestep)
+                m = int(carry.primary.M)
+                frame.pg_initial = np.asarray(carry.primary.poses_init)[: ts + 1]
+                frame.pg_result = np.asarray(poses)[: ts + 1]
+                frame.pg_landmarks = np.asarray(lms_sol)[:m]
+            viewer.update(frame)
+    avg = viewer.finish(base_dir)
+    print(f"Average error in {cfg.filter} from true vehicle pose history = {avg}")
+    return avg
+
+
+def run_igvc(cfg, seed=0, base_dir=None, batch=1):
+    """igvc1: closed-loop local-planner run, fully on device."""
+    import jax
+
+    from live_ekf_slam_tpu.eval.closed_loop import run_closed_loop
+
+    metrics, final, _ = run_closed_loop(
+        cfg, jax.random.PRNGKey(seed), batch=batch
+    )
+    err = metrics["err_" + cfg.filter]
+    print(
+        f"igvc closed loop: avg position error {np.mean(err):.4f} m, "
+        f"final true pose {metrics['final_true_pose'][0]}"
+    )
+    return metrics
+
+
+def run_monte_carlo_cli(cfg, args):
+    import jax
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo
+    from live_ekf_slam_tpu.eval.recorder import write_run_csvs
+
+    collect = "poses" if cfg.filter == "pose_graph" else "sums"
+    res, _, _ = run_monte_carlo(
+        cfg, jax.random.PRNGKey(args.seed), batch=args.batch,
+        seed=args.seed, collect=collect,
+    )
+    out = {k.replace("err_", ""): v for k, v in res.items()}
+    for k, v in out.items():
+        print(f"{k}: mean {np.mean(v):.4f} std {np.std(v):.4f}")
+    if args.runs_dir:
+        write_run_csvs(args.runs_dir, out)
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="live_ekf_slam_tpu")
+    p.add_argument(
+        "preset",
+        choices=[
+            "sim_base", "filter_demo_live", "filter_demo_results_only",
+            "igvc1", "monte_carlo", "bar_graphs",
+        ],
+    )
+    p.add_argument("--params", help="reference-format params.yaml")
+    p.add_argument("--filter", help="ekf_slam|ukf_loc|ukf_slam|pose_graph|naive")
+    p.add_argument("--landmark-map", dest="landmark_map")
+    p.add_argument("--occ-map-img", dest="occ_map_img")
+    p.add_argument("--steps", type=int)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--plot-result-only", action="store_true")
+    p.add_argument("--runs-dir", help="CSV output dir (monte_carlo)")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--plots-dir", default="plots/err_comparisons")
+    p.add_argument("--base-dir", help="artifact dir for plots/data")
+    args = p.parse_args(argv)
+
+    if args.preset == "bar_graphs":
+        from live_ekf_slam_tpu.eval.recorder import make_all_bar_charts
+
+        make_all_bar_charts(args.data_dir, args.plots_dir)
+        return 0
+
+    cfg = _build_cfg(args)
+    if args.preset == "monte_carlo":
+        run_monte_carlo_cli(cfg, args)
+    elif args.preset == "igvc1":
+        run_igvc(cfg, seed=args.seed, base_dir=args.base_dir)
+    elif args.preset in ("filter_demo_live", "sim_base"):
+        run_demo(cfg, seed=args.seed, live=True, base_dir=args.base_dir)
+    else:  # filter_demo_results_only
+        run_demo(cfg, seed=args.seed, live=False, base_dir=args.base_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -348,11 +348,19 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     the solve runs in stages with the measurement sigmas relaxed 16x/4x/1x —
     each stage warm-starting the next.
     """
-    pg = cfg.pose_graph
-    poses = s.poses_init if poses0 is None else poses0
-    lms = s.lms_init if lms0 is None else lms0
+    poses0_ = s.poses_init if poses0 is None else poses0
+    lms0_ = s.lms_init if lms0 is None else lms0
+    # direct solve (best when the initialization is already near the optimum,
+    # e.g. long low-drift runs)
+    poses_d, lms_d, err_d = _solve_stage(cfg, s, poses0_, lms0_, 1.0)
+    # graduated solve (escapes bearing-wrap local minima from far inits)
+    poses_g, lms_g = poses0_, lms0_
     for scale in (16.0, 4.0, 1.0):
-        poses, lms, err = _solve_stage(cfg, s, poses, lms, scale)
+        poses_g, lms_g, err_g = _solve_stage(cfg, s, poses_g, lms_g, scale)
+    take_g = err_g < err_d
+    poses = jnp.where(take_g, poses_g, poses_d)
+    lms = jnp.where(take_g, lms_g, lms_d)
+    err = jnp.minimum(err_g, err_d)
     return poses, lms, err
 
 
