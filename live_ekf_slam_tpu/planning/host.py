@@ -61,7 +61,18 @@ class AstarHost:
         return (goal[0] - a[0]) ** 2 + (goal[1] - a[1]) ** 2
 
     def plan_cells(self, start_ij, goal_ij):
-        """Returns the list of cells start->goal (excluding start) or None."""
+        """Returns the list of cells start->goal (excluding start) or None.
+
+        Uses the native C++ planner (native/src/astar.cpp) when built; the
+        Python fallback below has identical semantics.
+        """
+        from live_ekf_slam_tpu import native as _native
+
+        if _native.available():
+            return _native.astar_plan(
+                np.asarray(self.occ, np.float32), start_ij, goal_ij,
+                self.cfg.path_planning.astar_incl_diagonals,
+            )
         s = self.cfg.map.occ_map_size
         if not (0 <= start_ij[0] < s and 0 <= start_ij[1] < s):
             return None

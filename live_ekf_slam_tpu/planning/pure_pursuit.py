@@ -46,11 +46,17 @@ def init(cfg: Config) -> PursuitState:
 
 
 def set_path(s: PursuitState, pts, valid) -> PursuitState:
-    """Replace the whole queue with a new path ((C,2) + mask), compacted."""
+    """Replace the whole queue with a new path ((L,2) + mask), compacted and
+    padded/cropped to the fixed capacity."""
     c = s.path.shape[0]
     n = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), c)
     order = jnp.argsort(~valid)  # valid entries first, stable
-    path = pts[order]
+    compacted = pts[order]
+    L = compacted.shape[0]
+    if L >= c:
+        path = compacted[:c]
+    else:
+        path = jnp.zeros((c, 2), compacted.dtype).at[:L].set(compacted)
     return s.replace(path=path, head=jnp.int32(0), length=n)
 
 

@@ -144,6 +144,12 @@ def load_occ_map(cfg: Config, occ_map_img: str | None = None):
     color = arr.copy()
 
     s = cfg.map.occ_map_size
+    from live_ekf_slam_tpu import native as _native
+
+    if _native.available():
+        # native C++ raster pipeline (native/src/occgrid.cpp)
+        occ = _native.occgrid_from_rgb(arr, s, cfg.map.occ_map_balloon_amt)
+        return occ, color
     small = np.asarray(
         Image.fromarray(arr).resize((s, s), Image.BILINEAR), dtype=np.float32
     )

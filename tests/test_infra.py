@@ -1,0 +1,175 @@
+"""Infrastructure tests: YAML config round-trip, checkpoint/restore, mesh
+sharding with cross-chip metric reduction, viz artists, recorder CSVs."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from live_ekf_slam_tpu.config import Config, config_from_dict, load_config, preset
+from live_ekf_slam_tpu.eval.runner import init_carry, make_step
+from live_ekf_slam_tpu.parallel import mesh as pmesh
+from live_ekf_slam_tpu.utils import checkpoint as ckpt
+
+
+def test_yaml_config_roundtrip(tmp_path):
+    """A reference-format params.yaml loads into the Config schema."""
+    yaml_text = """
+filter: "ukf_slam"
+dt: 0.01
+num_iterations: 123
+init_pose: {x: 1.0, y: -2.0, yaw: 0.5}
+constraints:
+  commands: {d_max: 0.2, th_max: 0.1}
+  vision: {range_max: 4.0, fov_min: -1.0, fov_max: 1.0}
+  measurements: {landmark_id_is_known: false, min_landmark_separation: 0.2}
+process_noise:
+  mean: {v_d: 0.0, v_th: 0.0}
+  cov: {V_00: 0.02, V_11: 0.002}
+sensing_noise:
+  mean: {w_r: 0.0, w_b: 0.0}
+  cov: {W_00: 0.03, W_11: 0.004}
+ukf: {W_0: 0.3}
+pose_graph:
+  filter_to_compare: "ekf_slam"
+  solve_graph_every_iteration: false
+map: {bound: 5.0, num_landmarks: 7, occ_map_size: 100}
+path_planning: {nav_method: "direct", astar_incl_diagonals: false}
+"""
+    p = tmp_path / "params.yaml"
+    p.write_text(yaml_text)
+    cfg = load_config(str(p))
+    assert cfg.filter == "ukf_slam"
+    assert cfg.dt == 0.01
+    assert cfg.num_iterations == 123
+    assert cfg.init_pose == (1.0, -2.0, 0.5)
+    assert cfg.constraints.commands.d_max == 0.2
+    assert not cfg.constraints.measurements.landmark_id_is_known
+    assert cfg.process_noise.V_11 == 0.002
+    assert cfg.sensing_noise.W_00 == 0.03
+    assert cfg.ukf.W_0 == 0.3
+    assert cfg.pose_graph.filter_to_compare == "ekf_slam"
+    assert not cfg.pose_graph.solve_graph_every_iteration
+    assert cfg.map.num_landmarks == 7
+    assert cfg.num_landmark_slots == 7  # capacity tracks the landmark count
+    assert cfg.path_planning.nav_method == "direct"
+    # grid transforms (sim_node.py:332-337)
+    assert cfg.grid_shift == 50.0
+    assert cfg.grid_scale == 0.1
+
+
+def test_presets_match_launch_files():
+    live = preset("filter_demo_live")
+    assert live.precompute_trajectory and not live.plot_result_only
+    res = preset("filter_demo_results_only")
+    assert res.plot_result_only and res.dt == 0.005
+    igvc = preset("igvc1")
+    assert igvc.use_local_planner and igvc.tight_control
+    assert igvc.init_pose == (0.0, -8.5, 0.0)  # sim_node.py:355-356
+    assert igvc.landmark_map == "igvc1"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = Config(num_iterations=10).replace(
+        num_landmark_slots=4, num_meas_slots=4
+    )
+    lms = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (4, 2)), jnp.float32)
+    carry = init_carry(cfg, lms)
+    step = jax.jit(make_step(cfg))
+    key = jax.random.PRNGKey(0)
+    for t in range(3):
+        carry, _ = step(carry, (jnp.asarray([0.05, 0.01]), jax.random.fold_in(key, t)))
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, carry)
+    restored = ckpt.restore(path, carry)
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed run continues identically
+    c1, _ = step(carry, (jnp.asarray([0.05, 0.01]), jax.random.fold_in(key, 9)))
+    c2, _ = step(restored, (jnp.asarray([0.05, 0.01]), jax.random.fold_in(key, 9)))
+    np.testing.assert_array_equal(
+        np.asarray(c1.primary.x), np.asarray(c2.primary.x)
+    )
+
+
+def test_mesh_sharded_step_and_reduction():
+    """8-virtual-device mesh: sharded fused step + psum-style metric mean."""
+    assert len(jax.devices()) == 8, "conftest must set 8 virtual cpu devices"
+    cfg = Config(num_iterations=4).replace(
+        num_landmark_slots=3, num_meas_slots=3
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=3))
+    batch = 16
+    rng = np.random.default_rng(0)
+    lms = jnp.asarray(rng.uniform(-5, 5, (batch, 3, 2)), jnp.float32)
+    carry = jax.vmap(lambda l: init_carry(cfg, l))(lms)
+    step = make_step(cfg)
+
+    mesh = pmesh.make_mesh(8)
+    sh = pmesh.world_sharding(mesh)
+    carry = pmesh.shard_batch(carry, mesh)
+    cmds = jnp.tile(jnp.asarray([[0.05, 0.0]], jnp.float32), (batch, 1))
+    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+    inp = pmesh.shard_batch((cmds, keys), mesh)
+
+    @jax.jit
+    def sharded(carry, inp):
+        carry, _ = jax.vmap(step)(carry, inp)
+        return carry, jnp.mean(carry.err_sum_primary)
+
+    out_carry, mean_err = sharded(carry, inp)
+    assert np.isfinite(float(mean_err))
+    # matches the unsharded computation
+    carry_local = jax.device_get(carry)
+    out2, mean2 = jax.jit(sharded)(
+        jax.tree.map(jnp.asarray, carry_local), (cmds, keys)
+    )
+    np.testing.assert_allclose(float(mean_err), float(mean2), rtol=1e-6)
+
+
+def test_recorder_and_bar_charts(tmp_path):
+    from live_ekf_slam_tpu.eval.recorder import bar_chart, write_run_csvs
+
+    run = tmp_path / "ekf_high_noise_iter"
+    write_run_csvs(
+        str(run),
+        {
+            "ekf": [1.0, 1.2, 1.4],
+            "pose_graph_result": [0.6, 0.7, 0.8],
+        },
+    )
+    pgs_m, filt_m, ftype = bar_chart(str(run), str(tmp_path / "plots"))
+    assert ftype == "EKF-SLAM"
+    assert abs(pgs_m - 0.7) < 1e-9
+    assert abs(filt_m - 1.2) < 1e-9
+    assert (tmp_path / "plots" / "ekf_high_noise_iter.png").exists()
+
+
+def test_cov_ellipse_shape():
+    from live_ekf_slam_tpu.viz.artists import cov_to_ellipse
+
+    ell = cov_to_ellipse(np.diag([4.0, 1.0]), n_std=1.0)
+    assert ell.shape[0] == 2
+    # semi-axes ~ 2*sqrt(vals): x extent 4, y extent 2
+    assert abs(ell[0].max() - 4.0) < 0.05
+    assert abs(ell[1].max() - 2.0) < 0.05
+
+
+def test_apriltag_bridge():
+    from live_ekf_slam_tpu.hw.apriltag import (
+        TagDetection,
+        detections_to_measurements,
+        flat_to_measurement_slots,
+    )
+
+    dets = [
+        TagDetection(tag_id=3, translation=(1.0, 1.0, 0.5)),
+        TagDetection(tag_id=7, translation=(2.0, 0.0, 0.5)),
+    ]
+    flat = detections_to_measurements(dets)
+    assert flat[0] == 3.0 and abs(flat[1] - np.sqrt(2.0)) < 1e-9
+    assert abs(flat[2] - np.pi / 4) < 1e-9
+    meas = flat_to_measurement_slots(flat, 4)
+    assert int(meas.ids[0]) == 3 and int(meas.ids[1]) == 7
+    assert bool(meas.valid[1]) and not bool(meas.valid[2])

@@ -1,0 +1,188 @@
+"""Planning tests: device A*/local-planner vs reference-semantics host oracle,
+pure pursuit device vs host parity, native C++ planner parity."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.planning import astar as d_astar
+from live_ekf_slam_tpu.planning import pure_pursuit as pp
+from live_ekf_slam_tpu.planning.host import AstarHost, PurePursuitHost
+
+
+def _cfg(size=40, **kw):
+    cfg = Config(num_iterations=50)
+    cfg = cfg.replace(map=cfg.map.__class__(occ_map_size=size), **kw)
+    return cfg
+
+
+def _maze(size=40, seed=0):
+    rng = np.random.default_rng(seed)
+    occ = np.ones((size, size), np.float32)
+    # a few rectangular obstacles
+    for _ in range(5):
+        i = rng.integers(5, size - 10)
+        j = rng.integers(5, size - 10)
+        occ[i : i + rng.integers(3, 8), j : j + rng.integers(3, 8)] = 0.0
+    return occ
+
+
+def test_device_astar_matches_host_cost():
+    cfg = _cfg()
+    occ = _maze()
+    host = AstarHost(cfg, occ)
+    plan = jax.jit(
+        lambda occ, s, g: d_astar.astar(cfg, occ, s, g, max_iters=128)
+    )
+    rng = np.random.default_rng(1)
+    checked = 0
+    while checked < 5:
+        s_ij = tuple(rng.integers(0, 40, 2))
+        g_ij = tuple(rng.integers(0, 40, 2))
+        if occ[s_ij] == 0 or occ[g_ij] == 0 or s_ij == g_ij:
+            continue
+        host_cells = host.plan_cells(s_ij, g_ij)
+        from live_ekf_slam_tpu.planning.host import tf_map_to_ekf
+
+        s_xy = tf_map_to_ekf(cfg, s_ij)
+        g_xy = tf_map_to_ekf(cfg, g_ij)
+        path, valid, reached = plan(
+            jnp.asarray(occ), jnp.asarray(s_xy, jnp.float32),
+            jnp.asarray(g_xy, jnp.float32),
+        )
+        if host_cells is None:
+            assert not bool(reached)
+        else:
+            assert bool(reached)
+            # same path cost (steps); tie-breaking may pick a different path
+            assert int(np.asarray(valid).sum()) == len(host_cells)
+        checked += 1
+
+
+def test_device_local_planner_matches_host():
+    cfg = _cfg()
+    occ = _maze(seed=3)
+    host = AstarHost(cfg, occ)
+    lp = jax.jit(lambda occ, p: d_astar.local_planner(cfg, occ, p))
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        pose = np.array(
+            [rng.uniform(-8, 8), rng.uniform(-8, 8), rng.uniform(-3, 3)],
+            np.float32,
+        )
+        goal_h = host.local_planner(pose)
+        goal_d, ok = lp(jnp.asarray(occ), jnp.asarray(pose))
+        assert goal_h is not None and bool(ok)
+        # both must land on a free cell near the ideal point; positions can
+        # differ by BFS tie-breaking, so check freeness + proximity
+        from live_ekf_slam_tpu.planning.host import tf_ekf_to_map
+
+        ij_d = tf_ekf_to_map(cfg, np.asarray(goal_d))
+        assert occ[ij_d[0], ij_d[1]] == 1.0
+        d_h = math.hypot(goal_h[0] - np.asarray(goal_d)[0],
+                         goal_h[1] - np.asarray(goal_d)[1])
+        assert d_h < 2.0
+
+
+def test_pure_pursuit_matches_host():
+    cfg = Config(num_iterations=50)
+    # a straight path of waypoints
+    path = [(0.2 * i, 0.1 * i) for i in range(1, 30)]
+    host = PurePursuitHost(cfg, tight=False)
+    host.goal_queue = [list(w) for w in path]
+
+    s = pp.init(cfg)
+    cap = cfg.path_planning.path_capacity
+    pts = np.zeros((cap, 2), np.float32)
+    pts[: len(path)] = path
+    valid = np.zeros(cap, bool)
+    valid[: len(path)] = True
+    s = pp.set_path(s, jnp.asarray(pts), jnp.asarray(valid))
+
+    cur = np.array([0.0, 0.0, 0.1])
+    step = jax.jit(lambda s, c: pp.get_next_cmd(cfg, s, c, tight=False))
+    for i in range(15):
+        cmd_h = host.get_next_cmd(cur)
+        cmd_d, s = step(s, jnp.asarray(cur, jnp.float32))
+        cmd_d = np.asarray(cmd_d)
+        np.testing.assert_allclose(cmd_d, cmd_h, atol=1e-4)
+        # advance the vehicle using the command (kinematics identical)
+        cur = np.array(
+            [
+                cur[0] + cmd_h[0] * math.cos(cur[2]),
+                cur[1] + cmd_h[0] * math.sin(cur[2]),
+                cur[2] + cmd_h[1],
+            ]
+        )
+
+
+def test_pure_pursuit_tight_gains():
+    cfg = Config(num_iterations=50)
+    host = PurePursuitHost(cfg, tight=True)
+    host.goal_queue = [[1.0, 0.5]]
+    s = pp.init(cfg)
+    s = pp.append_goal(s, jnp.asarray([1.0, 0.5], jnp.float32))
+    cur = np.array([0.0, 0.0, 0.0])
+    cmd_h = host.get_next_cmd(cur)
+    cmd_d, _ = jax.jit(
+        lambda s, c: pp.get_next_cmd(cfg, s, c, tight=True)
+    )(s, jnp.asarray(cur, jnp.float32))
+    np.testing.assert_allclose(np.asarray(cmd_d), cmd_h, atol=1e-5)
+
+
+def test_direct_nav_matches_host():
+    cfg = Config(num_iterations=50)
+    host = PurePursuitHost(cfg)
+    host.goal_queue = [[2.0, 1.0], [3.0, 1.0]]
+    s = pp.init(cfg)
+    for g in host.goal_queue:
+        s = pp.append_goal(s, jnp.asarray(g, jnp.float32))
+    cur = np.array([0.0, 0.0, 0.3])
+    step = jax.jit(lambda s, c: pp.direct_nav(cfg, s, c))
+    for _ in range(10):
+        cmd_h = host.direct_nav(cur)
+        cmd_d, s = step(s, jnp.asarray(cur, jnp.float32))
+        np.testing.assert_allclose(np.asarray(cmd_d), cmd_h, atol=1e-5)
+        cur = np.array(
+            [
+                cur[0] + cmd_h[0] * math.cos(cur[2]),
+                cur[1] + cmd_h[0] * math.sin(cur[2]),
+                cur[2] + cmd_h[1],
+            ]
+        )
+
+
+def test_native_planner_matches_python_oracle():
+    from live_ekf_slam_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    cfg = _cfg()
+    occ = _maze(seed=7)
+    # force the python fallback for the oracle side
+    host = AstarHost(cfg, occ)
+    rng = np.random.default_rng(4)
+    for _ in range(4):
+        s_ij = tuple(int(v) for v in rng.integers(0, 40, 2))
+        g_ij = tuple(int(v) for v in rng.integers(0, 40, 2))
+        if occ[s_ij] == 0 or occ[g_ij] == 0:
+            continue
+        native_cells = native.astar_plan(occ, s_ij, g_ij, True)
+        # bypass the native shortcut inside plan_cells
+        import live_ekf_slam_tpu.native as nat
+
+        saved = nat._LIB
+        nat._LIB = None
+        try:
+            py_cells = host.plan_cells(s_ij, g_ij)
+        finally:
+            nat._LIB = saved
+        if py_cells is None:
+            assert native_cells is None
+        else:
+            assert native_cells is not None
+            assert len(native_cells) == len(py_cells)
