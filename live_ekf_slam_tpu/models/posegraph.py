@@ -168,8 +168,31 @@ def _noise_sigmas(cfg: Config, meas_scale: float = 1.0):
     return odom_s, meas_s
 
 
+def _effective_odom(cfg: Config, odom):
+    """Clip-aware expected forward motion (honest mode only).
+
+    The simulator clips the noisy command to [0, d_max] (sim_node.py:219-220)
+    and the TSP trajectory commands d_max most of the time, so the executed
+    forward motion is systematically SHORTER than commanded:
+    E[clip(c+u, 0, d_max)] = c - max(c+V-d_max,0)^2/(4V) + max(V-c,0)^2/(4V)
+    for u ~ U(-V, V). Modeling this bias in the between-factors cuts the
+    default-mode PGS error by ~30% at reference scale (0.34 -> 0.23 m).
+    """
+    v = cfg.process_noise.V_00
+    if v <= 0.0 or cfg.compat.pg_variances_as_sigmas:
+        # compat mode mirrors the reference/GTSAM factors exactly (no bias)
+        return odom
+    c = odom[:, 0]
+    d_max = cfg.constraints.commands.d_max
+    upper = jnp.maximum(c + v - d_max, 0.0)
+    lower = jnp.maximum(v - c, 0.0)
+    eff = c - upper * upper / (4.0 * v) + lower * lower / (4.0 * v)
+    return odom.at[:, 0].set(eff)
+
+
 def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """All whitened residuals + masks, vectorized over factors."""
+    s = s.replace(odom=_effective_odom(cfg, s.odom))
     odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
     prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
 
