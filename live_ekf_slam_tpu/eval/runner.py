@@ -193,11 +193,17 @@ def run_monte_carlo(
     collect: str = "sums",
     solve_chunk: int = 8,
     jit: bool = True,
+    impl: str = "xla",
+    block_worlds: int = 128,
 ):
     """Full Monte-Carlo evaluation: B worlds, random maps, TSP trajectories.
 
     Returns a dict of (B,) per-world average position errors, reproducing the
     reference's benchmark harness (data/<run>/*.csv) in one call.
+
+    impl="fused" routes EKF-SLAM runs through the Pallas fused-rollout kernel
+    (ops/fused_rollout.py) — the TPU fast path; requires filter == "ekf_slam",
+    known landmark ids, collect == "sums", and batch % block_worlds == 0.
     """
     rng = np.random.default_rng(seed)
     if cfg.landmark_map in ("random", "rand"):
@@ -207,6 +213,25 @@ def run_monte_carlo(
         lms = np.broadcast_to(single[None], (batch,) + single.shape).copy()
     lms = jnp.asarray(lms)
     keys = jax.random.split(key, batch)
+
+    if impl == "fused":
+        from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
+        from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
+
+        if cfg.filter != "ekf_slam" or collect != "sums":
+            raise ValueError(
+                "impl='fused' supports filter='ekf_slam', collect='sums'"
+            )
+        cmds = jax.jit(
+            jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
+        )(lms, keys)
+        out = fused_ekf_rollout(
+            cfg, lms, cmds, seed, block_worlds=block_worlds
+        )
+        results = {
+            "err_ekf_slam": np.asarray(out["err_sum"]) / cfg.num_iterations
+        }
+        return results, out, None
 
     fn = functools.partial(_single_world_run, cfg, collect)
     batched = jax.vmap(fn)
