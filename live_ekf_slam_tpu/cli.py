@@ -84,15 +84,35 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
     cfg = cfg.replace(num_landmark_slots=n_active, num_meas_slots=n_active)
     lms_j = jnp.asarray(lms)
 
-    cmds = generate_trajectory(cfg, lms_j, n_active, jax.random.PRNGKey(seed))
     carry = R.init_carry(cfg, lms_j, n_active)
     step = jax.jit(R.make_step(cfg, collect="poses"))
 
-    viewer = LiveViewer(cfg, color_map=color, true_landmarks=lms)
+    # clicked-goal pursuit (goal_pursuit_node semantics) when the trajectory
+    # is not precomputed; otherwise TSP replay (sim_node.py:55-60)
+    gp = None
+    if cfg.precompute_trajectory:
+        cmds = generate_trajectory(
+            cfg, lms_j, n_active, jax.random.PRNGKey(seed)
+        )
+    else:
+        from live_ekf_slam_tpu.eval.interactive import GoalPursuit
+
+        gp = GoalPursuit(cfg, occ)
+        gp._cur = list(cfg.init_pose)
+
+    viewer = LiveViewer(
+        cfg, color_map=color, true_landmarks=lms,
+        on_goal=(gp.set_goal if gp is not None else None),
+    )
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), cfg.num_iterations)
-    pg_states = []
+    import jax.numpy as jnp2
+    cmd = jnp2.zeros(2, jnp2.float32)
     for t in range(cfg.num_iterations):
-        carry, (tp, ep) = step(carry, (cmds[t], keys[t]))
+        if gp is None:
+            cmd = cmds[t]
+        carry, (tp, ep) = step(carry, (cmd, keys[t]))
+        if gp is not None:
+            cmd = jnp2.asarray(gp.on_state(np.asarray(ep)), jnp2.float32)
         if live or t + 1 >= cfg.num_iterations:
             name = cfg.filter
             state = carry.primary if name != "pose_graph" else carry.secondary

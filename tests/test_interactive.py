@@ -1,0 +1,60 @@
+"""Interactive clicked-goal loop + iterative PGS mode tests."""
+
+import numpy as np
+import jax
+
+from live_ekf_slam_tpu.config import Config, preset
+from live_ekf_slam_tpu.eval.interactive import GoalPursuit
+from live_ekf_slam_tpu.eval.pgs_iterative import run_iterative_pgs
+from live_ekf_slam_tpu.eval import runner as R
+from live_ekf_slam_tpu.sim import maps as sim_maps
+
+import jax.numpy as jnp
+
+
+def test_clicked_goal_closed_loop_reaches_goal():
+    """Host planner + device sim/filter: click a goal, vehicle gets there."""
+    cfg = Config(num_iterations=400).replace(
+        filter="ekf_slam", occ_map_img="blank.jpg",
+        num_landmark_slots=5, num_meas_slots=5,
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=5))
+    occ, _ = sim_maps.load_occ_map(cfg)
+    rng = np.random.default_rng(0)
+    lms, n = sim_maps.make_landmarks(cfg, rng, occ)
+
+    gp = GoalPursuit(cfg, occ)
+    # off-map and in-collision goals are rejected
+    assert not gp.set_goal((99.0, 99.0))
+
+    carry = R.init_carry(cfg, jnp.asarray(lms), n)
+    step = jax.jit(R.make_step(cfg, collect="poses"))
+    gp._cur = [0.0, 0.0, 0.0]
+    assert gp.set_goal((1.5, 1.0))
+
+    key = jax.random.PRNGKey(1)
+    cmd = (0.0, 0.0)
+    est = np.zeros(3)
+    for t in range(cfg.num_iterations):
+        carry, (tp, ep) = step(
+            carry, (jnp.asarray(cmd, jnp.float32), jax.random.fold_in(key, t))
+        )
+        est = np.asarray(ep)
+        cmd = gp.on_state(est)
+        if np.hypot(est[0] - 1.5, est[1] - 1.0) < 0.2:
+            break
+    assert np.hypot(est[0] - 1.5, est[1] - 1.0) < 0.25, est
+
+
+def test_iterative_pgs_mode():
+    cfg = Config(num_iterations=60).replace(
+        filter="pose_graph", num_landmark_slots=6, num_meas_slots=6,
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=6))
+    rng = np.random.default_rng(3)
+    lms = sim_maps.random_landmarks(cfg, rng)
+    out = run_iterative_pgs(cfg, lms, jax.random.PRNGKey(2), solve_stride=10)
+    assert np.isfinite(out["err_pose_graph_result"])
+    assert out["pgs_result"].shape == (60, 3)
+    # the solved history should not be wildly worse than the secondary's
+    assert out["err_pose_graph_result"] < max(out["err_secondary"] * 3.0, 0.5)
