@@ -42,3 +42,24 @@ def landmark_rmse(est_lms, est_ids, est_m, true_lms):
     err2 = jnp.where(active, err2, 0.0)
     denom = jnp.maximum(est_m, 1)
     return jnp.sqrt(jnp.sum(err2) / denom)
+
+
+def nees(est_pose, true_pose, pose_cov):
+    """Normalized estimation error squared on vehicle position (consistency).
+
+    e^T P^{-1} e over the (x, y) block; a consistent filter averages ~2 (the
+    position dimension). est_pose/true_pose: (..., >=2); pose_cov:
+    (..., 2, 2). The reference has no consistency metric; this is the
+    standard addition for Monte-Carlo filter evaluation.
+    """
+    e = est_pose[..., :2] - true_pose[..., :2]
+    a = pose_cov[..., 0, 0]
+    b = pose_cov[..., 0, 1]
+    c = pose_cov[..., 1, 0]
+    d = pose_cov[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    # closed-form 2x2 inverse quadratic form
+    return (
+        d * e[..., 0] ** 2 - (b + c) * e[..., 0] * e[..., 1] + a * e[..., 1] ** 2
+    ) / det

@@ -39,11 +39,9 @@ linearization (ekf.cpp:115-129), unwrapped bearing innovation (ekf.cpp:131).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

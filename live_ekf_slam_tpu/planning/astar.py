@@ -21,8 +21,6 @@ planning/host.py (used for parity tests and the interactive host loop).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -173,3 +173,13 @@ def test_apriltag_bridge():
     meas = flat_to_measurement_slots(flat, 4)
     assert int(meas.ids[0]) == 3 and int(meas.ids[1]) == 7
     assert bool(meas.valid[1]) and not bool(meas.valid[2])
+
+
+def test_nees_consistency_metric():
+    from live_ekf_slam_tpu.eval.metrics import nees
+
+    e = jnp.asarray([1.0, 0.0, 0.0])
+    t_ = jnp.zeros(3)
+    cov = jnp.asarray([[0.5, 0.0], [0.0, 2.0]])
+    # e^T P^-1 e = 1/0.5 = 2
+    assert abs(float(nees(e, t_, cov)) - 2.0) < 1e-6
