@@ -209,7 +209,13 @@ def run_monte_carlo(
     if cfg.landmark_map in ("random", "rand"):
         lms = sim_maps.random_landmarks_batched(cfg, rng, batch)
     else:
-        single, _ = sim_maps.make_landmarks(cfg, rng)
+        single, n_active = sim_maps.make_landmarks(cfg, rng)
+        # fixed maps (demo/grid/igvc1) set their own landmark count
+        # (sim_node.py:165,176,192); grow the slot capacities to match
+        if n_active != cfg.num_landmark_slots:
+            cfg = cfg.replace(
+                num_landmark_slots=n_active, num_meas_slots=n_active
+            )
         lms = np.broadcast_to(single[None], (batch,) + single.shape).copy()
     lms = jnp.asarray(lms)
     keys = jax.random.split(key, batch)
