@@ -12,8 +12,9 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
-from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.config import CompatConfig, Config
 from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
 from live_ekf_slam_tpu.sim import maps as sim_maps
 
@@ -22,10 +23,12 @@ from oracle import EKFOracle
 B, T, N = 8, 25, 5
 
 
-def _setup(seed=5):
+def _setup(seed=5, compat=False):
     cfg = Config(num_iterations=T).replace(
         num_landmark_slots=N, num_meas_slots=N
     )
+    if compat:
+        cfg = cfg.replace(compat=CompatConfig.all_on())
     cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=N))
     rng = np.random.default_rng(seed)
     lms = sim_maps.random_landmarks_batched(cfg, rng, B)
@@ -81,8 +84,9 @@ def _oracle_run(cfg, lms_w, cmds_w, noise_w):
     return o, pose, err_sum
 
 
-def test_fused_rollout_matches_oracle_with_replayed_noise():
-    cfg, lms, cmds, noise = _setup()
+@pytest.mark.parametrize("compat", [False, True])
+def test_fused_rollout_matches_oracle_with_replayed_noise(compat):
+    cfg, lms, cmds, noise = _setup(compat=compat)
     out = fused_ekf_rollout(
         cfg,
         jnp.asarray(lms),
