@@ -506,3 +506,62 @@ def fused_ekf_rollout(
         "P": jnp.transpose(p_out, (2, 0, 1))[:, :d, :d],
         "seen": jnp.transpose(seen, (1, 0)) > 0.5,
     }
+
+
+def fused_ekf_rollout_sharded(
+    cfg: Config, landmarks, cmds, seed, mesh, block_worlds: int = 256,
+    interpret: bool = False, noise=None,
+):
+    """Multi-chip fused rollout: shard the world batch over a 1-D mesh.
+
+    Each device runs the Pallas kernel on its own shard (worlds are fully
+    independent; there is no cross-chip communication inside the rollout —
+    reductions over the results ride the mesh afterwards). The PRNG seed is
+    decorrelated per device via the mesh axis index.
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    b = landmarks.shape[0]
+    if b % n_dev != 0:
+        raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
+
+    out_specs = {
+        "err_sum": P(axis),
+        "true_pose": P(axis),
+        "x": P(axis),
+        "P": P(axis),
+        "seen": P(axis),
+    }
+    in_specs = [P(axis), P(axis, None)]
+    args = [landmarks, cmds]
+    if noise is not None:
+        in_specs.append(P(None, None, axis))
+        args.append(noise)
+
+    @_ft.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axis
+        # info; the per-device kernels are fully independent
+        check_vma=False,
+    )
+    def run(lms_shard, cmds_shard, *rest):
+        dev = jax.lax.axis_index(axis)
+        local_noise = rest[0] if rest else None
+        return fused_ekf_rollout(
+            cfg,
+            lms_shard,
+            cmds_shard,
+            seed + dev * jnp.int32(1000003),
+            block_worlds=block_worlds,
+            interpret=interpret,
+            noise=local_noise,
+        )
+
+    return run(*args)

@@ -112,3 +112,30 @@ def test_fused_rollout_matches_oracle_with_replayed_noise(compat):
         np.testing.assert_allclose(
             xs[w][np.array(perm)], o.x_t, atol=2e-4
         )
+
+
+def test_sharded_fused_rollout_matches_single_device():
+    """shard_map over the 8-device mesh: per-device kernels, identical output."""
+    from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout_sharded
+    from live_ekf_slam_tpu.parallel import mesh as pmesh
+
+    cfg, lms, cmds, noise = _setup()
+    B16 = 16
+    lms2 = np.concatenate([lms, lms])[:B16]
+    cmds2 = np.concatenate([cmds, cmds])[:B16]
+    noise2 = np.concatenate([noise, noise], axis=2)[:, :, :B16]
+    mesh = pmesh.make_mesh(8)
+    out_sh = fused_ekf_rollout_sharded(
+        cfg, jnp.asarray(lms2), jnp.asarray(cmds2), 0, mesh,
+        block_worlds=2, interpret=True, noise=jnp.asarray(noise2),
+    )
+    out_1 = fused_ekf_rollout(
+        cfg, jnp.asarray(lms2), jnp.asarray(cmds2), 0,
+        block_worlds=2, interpret=True, noise=jnp.asarray(noise2),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["err_sum"]), np.asarray(out_1["err_sum"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["x"]), np.asarray(out_1["x"])
+    )
