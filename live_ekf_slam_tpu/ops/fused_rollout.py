@@ -18,6 +18,13 @@ ekf.cpp:37-178):
   up to reordering — and makes EVERY index in the kernel static: no gathers,
   no dynamic slicing, no one-hot contractions. Requires known landmark ids
   (the default; data association falls back to the XLA path).
+* the Kalman gain MUST be formed from true covariance columns (P H^T) while
+  the downdate term uses true row combinations (H P): both single-sided
+  spellings were tried and diverge in fp32 — (P H^T)^T for HP flips the sign
+  of P's antisymmetric rounding residue (A' ~ A + KHA amplification), and
+  (H P)^T for the gain destabilizes the same residue dynamics from the other
+  side (empirically 100% NaN by T=1000). The mixed form keeps the residue
+  contractive, matching the reference's full-matrix recursion.
 * masked no-ops by zeroing the Kalman gain: a world whose measurement slot is
   invalid gets K=0, making x += K nu and P -= K(HP) exact identities — no
   select pass over the covariance.
