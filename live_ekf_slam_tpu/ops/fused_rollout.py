@@ -286,29 +286,31 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     a_b = ddy / d2     # h_b coefficients
                     b_b = ddx / d2
 
-                    c0 = p_ref[:, 0:1, :]
-                    c1 = p_ref[:, 1:2, :]
-                    c2 = p_ref[:, 2:3, :]
-                    cl0 = p_ref[:, li:li + 1, :]
-                    cl1 = p_ref[:, li + 1:li + 2, :]
-                    # pr = P h_r^T, pb = P h_b^T (D, 1, BL)
-                    pr = (cl0 - c0) * a_r[None] + (cl1 - c1) * b_r[None]
-                    pb = (c0 - cl0) * a_b[None] + (cl1 - c1) * b_b[None] - c2
+                    c0 = p_ref[:, 0, :]
+                    c1 = p_ref[:, 1, :]
+                    c2 = p_ref[:, 2, :]
+                    cl0 = p_ref[:, li, :]
+                    cl1 = p_ref[:, li + 1, :]
+                    # pr = P h_r^T, pb = P h_b^T (DP, BL)
+                    pr = (cl0 - c0) * a_r + (cl1 - c1) * b_r
+                    pb = (c0 - cl0) * a_b + (cl1 - c1) * b_b - c2
 
                     # S = H (P H^T) + W, entries via the 4/5 nonzeros of H
                     s00 = (
-                        -a_r * pr[0] - b_r * pr[1] + a_r * pr[li] + b_r * pr[li + 1]
+                        -a_r * pr[0:1] - b_r * pr[1:2]
+                        + a_r * pr[li:li + 1] + b_r * pr[li + 1:li + 2]
                     ) + w00f
                     s01 = (
-                        -a_r * pb[0] - b_r * pb[1] + a_r * pb[li] + b_r * pb[li + 1]
+                        -a_r * pb[0:1] - b_r * pb[1:2]
+                        + a_r * pb[li:li + 1] + b_r * pb[li + 1:li + 2]
                     )
                     s10 = (
-                        a_b * pr[0] - b_b * pr[1] - pr[2]
-                        - a_b * pr[li] + b_b * pr[li + 1]
+                        a_b * pr[0:1] - b_b * pr[1:2] - pr[2:3]
+                        - a_b * pr[li:li + 1] + b_b * pr[li + 1:li + 2]
                     )
                     s11 = (
-                        a_b * pb[0] - b_b * pb[1] - pb[2]
-                        - a_b * pb[li] + b_b * pb[li + 1]
+                        a_b * pb[0:1] - b_b * pb[1:2] - pb[2:3]
+                        - a_b * pb[li:li + 1] + b_b * pb[li + 1:li + 2]
                     ) + w11f
                     det = s00 * s11 - s01 * s10
                     det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
@@ -318,8 +320,8 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     i11 = s00 / det
 
                     # K = (P H^T) S^{-1}, gated to zero for non-updating worlds
-                    k0 = (pr * i00[None] + pb * i10[None]) * m_u[None]
-                    k1 = (pr * i01[None] + pb * i11[None]) * m_u[None]
+                    k0 = (pr * i00 + pb * i10) * m_u
+                    k1 = (pr * i01 + pb * i11) * m_u
 
                     ang_lm = _wrap(_atan2(ddy, ddx) - thv)
                     nu_r = rn - dist - w_r
@@ -327,7 +329,7 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     if wrap_innov:
                         nu_b = _wrap(nu_b)
 
-                    x_new = x_ref[:, :] + k0[:, 0, :] * nu_r + k1[:, 0, :] * nu_b
+                    x_new = x_ref[:, :] + k0 * nu_r + k1 * nu_b
                     x_ref[:, :] = x_new
                     x_ref[2:3, :] = _wrap(x_new[2:3, :])
                     # P -= K (H P), one fused rank-2 pass (the only O(D^2) op per
@@ -346,8 +348,8 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     hp1 = (r0 - rl0) * a_b + (rl1 - r1) * b_b - r2
                     p_ref[:, :, :] = (
                         p_ref[:, :, :]
-                        - k0 * hp0[None]
-                        - k1 * hp1[None]
+                        - k0[:, None, :] * hp0[None, :, :]
+                        - k1[:, None, :] * hp1[None, :, :]
                     )
 
                 # ------- landmark insertion (ekf.cpp:141-173), predicated
