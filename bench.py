@@ -107,16 +107,25 @@ def main():
             return np.asarray(final.err_sum_primary)
 
     # warmup / compile; fetching the error vector forces a device round-trip
-    # (block_until_ready alone is unreliable through the axon tunnel)
-    t1 = time.perf_counter()
-    err = run(0)
-    log(f"warmup (compile+run) {time.perf_counter()-t1:.1f}s")
+    # (block_until_ready alone is unreliable through the axon tunnel).
+    # The tunnel occasionally drops the TPU worker mid-run; retry once.
+    for attempt in range(3):
+        try:
+            t1 = time.perf_counter()
+            err = run(0)
+            log(f"warmup (compile+run) {time.perf_counter()-t1:.1f}s")
 
-    t0 = time.perf_counter()
-    for rep in range(reps):
-        err = run(rep + 1)
-    elapsed = (time.perf_counter() - t0) / reps
-    log(f"timed: {elapsed:.3f}s/rep")
+            t0 = time.perf_counter()
+            for rep in range(reps):
+                err = run(rep + 1)
+            elapsed = (time.perf_counter() - t0) / reps
+            log(f"timed: {elapsed:.3f}s/rep")
+            break
+        except Exception as e:  # pragma: no cover - tunnel flakiness
+            log(f"attempt {attempt} failed: {type(e).__name__}: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
 
     steps_per_sec_per_world = t_total / elapsed
     avg_err = float(np.nanmean(err / t_total))
