@@ -22,6 +22,13 @@ WORLD_AXIS = "worlds"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh({n_devices}) requested but only {len(devs)} device(s) "
+            f"are available on backend '{jax.default_backend()}'. For a "
+            "virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={n} and JAX_PLATFORMS=cpu before JAX initializes."
+        )
     return Mesh(np.asarray(devs[:n]), (WORLD_AXIS,))
 
 
