@@ -53,23 +53,29 @@ def main():
     cfg = Config(num_iterations=t_total).replace(filter="ekf_slam")
     rng = np.random.default_rng(0)
 
-    genb = jax.jit(
-        lambda ls, ks: jax.vmap(
-            lambda l, k: generate_trajectory(cfg, l, l.shape[0], k)
-        )(ls, ks)
-    )
+    # Landmark ids are relabeled by TSP visit order (slot = visit rank): a
+    # pure per-world data-layout choice (ids are arbitrary labels) that makes
+    # visibility block-correlated across unique maps, which the kernel's
+    # per-landmark predication + seen-prefix growth bound exploit.
+    def gen1(l, k):
+        cmds, tour = generate_trajectory(
+            cfg, l, l.shape[0], k, return_tour=True
+        )
+        return cmds, l[tour]
+
+    genb = jax.jit(lambda ls, ks: jax.vmap(gen1)(ls, ks))
     t0 = time.perf_counter()
     if protocol == "shared":
         n_maps = max(batch // block, 1)
         lms_u = sim_maps.random_landmarks_batched(cfg, rng, n_maps)
-        lms = jnp.asarray(np.repeat(lms_u, batch // n_maps, axis=0))
-        cmds_u = genb(
+        cmds_u, lms_u = genb(
             jnp.asarray(lms_u), jax.random.split(jax.random.PRNGKey(1), n_maps)
         )
+        lms = jnp.repeat(lms_u, batch // n_maps, axis=0)
         cmds = jnp.repeat(cmds_u, batch // n_maps, axis=0)
     else:
         lms = jnp.asarray(sim_maps.random_landmarks_batched(cfg, rng, batch))
-        cmds = genb(lms, jax.random.split(jax.random.PRNGKey(1), batch))
+        cmds, lms = genb(lms, jax.random.split(jax.random.PRNGKey(1), batch))
     jax.block_until_ready(cmds)
     log(f"worlds+trajectories ready {time.perf_counter()-t0:.1f}s")
 

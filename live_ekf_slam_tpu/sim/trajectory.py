@@ -46,12 +46,21 @@ def _nn_tour(noisy_lm, start_pose, n_active):
     return tour
 
 
-def generate_trajectory(cfg: Config, landmarks, n_active, key, init_pose=None):
+def generate_trajectory(
+    cfg: Config, landmarks, n_active, key, init_pose=None, return_tour=False
+):
     """Returns (T, 2) commanded (fwd, ang) per tick (sim_node.py:113-138).
 
     landmarks: (N, 2) true map. The rough map used for planning gets uniform
     U(-landmark_noise, +landmark_noise) noise and is clamped to stay 1 m inside
     the display region (sim_node.py:82-87).
+
+    return_tour: also return the (N,) TSP visit order. Relabeling each world's
+    landmark ids by visit order (``landmarks[tour]``) makes visibility
+    block-correlated across worlds — every world sees low ids early and high
+    ids late — which the fused rollout kernel's per-landmark predication and
+    seen-prefix growth bound exploit. Ids are arbitrary labels, so this is a
+    pure data-layout choice: estimates are identical up to slot permutation.
     """
     t_total = cfg.num_iterations
     n_cap = landmarks.shape[0]
@@ -89,4 +98,6 @@ def generate_trajectory(cfg: Config, landmarks, n_active, key, init_pose=None):
     (_, _), cmds = jax.lax.scan(
         body, (pose0, jnp.int32(0)), None, length=t_total
     )
+    if return_tour:
+        return cmds, tour
     return cmds
