@@ -39,7 +39,11 @@ def main():
     t_total = int(os.environ.get("BENCH_STEPS", "1000"))
     impl = os.environ.get("BENCH_IMPL", "pallas")
     protocol = os.environ.get("BENCH_PROTOCOL", "shared")
-    block = int(os.environ.get("BENCH_BLOCK", "256"))
+    filt = os.environ.get("BENCH_FILTER", "ekf_slam")
+    # the UKF kernel's Cholesky scratch + sigma temporaries need a smaller
+    # world block to fit VMEM
+    default_block = "128" if filt.startswith("ukf") else "256"
+    block = int(os.environ.get("BENCH_BLOCK", default_block))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     target = 10_000.0
 
@@ -79,7 +83,16 @@ def main():
     jax.block_until_ready(cmds)
     log(f"worlds+trajectories ready {time.perf_counter()-t0:.1f}s")
 
-    if impl == "pallas":
+    if impl == "pallas" and filt in ("ukf_slam", "ukf_loc"):
+        from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout
+
+        def run(seed):
+            out = fused_ukf_rollout(
+                cfg, lms, cmds, seed, slam=(filt == "ukf_slam"),
+                block_worlds=block,
+            )
+            return np.asarray(out["err_sum"])
+    elif impl == "pallas":
         from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
 
         def run(seed):
@@ -141,7 +154,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"fused sim+EKF-SLAM steps/sec/world at {batch} worlds "
+                    f"fused sim+{filt.upper().replace(chr(95),chr(45))} steps/sec/world at {batch} worlds "
                     f"(T={t_total}, {impl} {protocol}; mean avg-pos-err "
                     f"{avg_err:.3f} m vs C++ ref 0.19-1.4 m)"
                 ),

@@ -91,6 +91,15 @@ class SensingNoise:
 class UKFConfig:
     # params.yaml:55-56
     W_0: float = 0.2
+    # Matrix square root used for the sigma points. "eigh" = the reference's
+    # spectral-clamped symmetric sqrt (nearestSPD + principal sqrt,
+    # ukf.cpp:106-123); "chol" = pivot-clamped Cholesky factor — any S with
+    # S S^T = P yields a valid unscented transform (same propagated mean and
+    # covariance to 2nd order), and Cholesky is O(D^3/3) with no
+    # eigendecomposition, which the fused TPU kernel requires. The fused UKF
+    # rollout always uses "chol"; this flag lets the XLA path match it for
+    # parity testing.
+    sigma_sqrt: str = "eigh"
 
 
 @_freeze()
@@ -189,6 +198,12 @@ class CompatConfig:
     # UKF sensing model reads yaw from the committed pre-predict state x_t
     # instead of the sigma point being evaluated (ukf.cpp:139).
     ukf_committed_yaw_in_sensing: bool = False
+    # UKF process-noise diag uses SIGNED V*cos(yaw)/V*sin(yaw)
+    # (ukf.cpp:183-186), which goes negative for half of all headings and
+    # leaves P indefinite until the next tick's nearestSPD clamp repairs it.
+    # Off (default) uses the correct PSD projection Q = G V G^T for the
+    # (x, y, cos, sin) state.
+    ukf_signed_process_noise: bool = False
     # GTSAM noise models built from variances passed as sigmas
     # (pose_graph.cpp:52-54).
     pg_variances_as_sigmas: bool = False

@@ -84,6 +84,40 @@ def _sqrt_spd_clamped(p_sym_scaled):
     return dot32(evecs * evals[None, :], evecs.T)
 
 
+def chol_clamped(p_sym_scaled, eps=1e-8, n_active=None):
+    """Pivot-clamped Cholesky — the fused TPU kernel's sigma-point sqrt
+    (UKFConfig.sigma_sqrt="chol"). Outer-product form; a pivot below eps is
+    clamped and its column below zeroed. For PSD P this is benign (Schur:
+    tiny pivot implies a tiny column, so nothing real is lost); for the
+    genuinely indefinite P the reference's signed process noise produces
+    (ukf.cpp:183-186), the chol mode pairs this with the Joseph-form
+    measurement update, which keeps P PSD by construction so the clamp only
+    ever sees fp-noise-level negatives. (A Gill–Murray pivot raise was tried
+    instead of zeroing: bounding columns at beta=100 produced 100 m sigma
+    offsets in the indefinite regime and diverged far worse.) Written as a
+    lax.scan of full-width masked rank-1 updates, mirroring the Pallas
+    kernel's loop."""
+    du = p_sym_scaled.shape[0]
+    idx = jnp.arange(du)
+    n_act = du if n_active is None else n_active
+
+    def body(carry, j):
+        a, bad = carry
+        pivot = a[j, j]
+        ok = pivot > eps
+        bad = bad | (~ok & (j < n_act))  # clamped an ACTIVE direction
+        d = jnp.sqrt(jnp.maximum(pivot, eps))
+        below = jnp.where((idx > j) & ok, a[:, j], 0.0) / d
+        a = a - below[:, None] * below[None, :]
+        a = a.at[:, j].set(below + jnp.where(idx == j, d, 0.0))
+        return (a, bad), None
+
+    (a, bad), _ = jax.lax.scan(
+        body, (p_sym_scaled, jnp.bool_(False)), jnp.arange(du)
+    )
+    return jnp.where(idx[:, None] >= idx[None, :], a, 0.0), bad
+
+
 def _yaw_of(x):
     return wrap_angle(jnp.arctan2(x[3], x[2]))
 
@@ -107,24 +141,36 @@ def predict(cfg: Config, s: UKFState, cmd, slam: bool):
     du = s.x.shape[0]
     n_active = 4 + 2 * s.M if slam else jnp.int32(4)
 
-    # process noise diag (ukf.cpp:182-186) — can go negative by design; the
-    # next tick's spectral clamp is what keeps the filter alive.
     yaw = _yaw_of(s.x)
-    q_diag = jnp.zeros(du, jnp.float32).at[:4].set(
-        jnp.stack(
-            [
-                v00 * jnp.cos(yaw),
-                v00 * jnp.sin(yaw),
-                v11 * jnp.cos(yaw),
-                v11 * jnp.sin(yaw),
-            ]
+    c, si = jnp.cos(yaw), jnp.sin(yaw)
+    q = jnp.zeros((du, du), jnp.float32)
+    if cfg.compat.ukf_signed_process_noise:
+        # reference quirk (ukf.cpp:182-186): SIGNED diag — negative for half
+        # of all headings; the next tick's spectral clamp repairs P.
+        q = q.at[jnp.arange(4), jnp.arange(4)].set(
+            jnp.stack([v00 * c, v00 * si, v11 * c, v11 * si])
         )
-    )
+    else:
+        # correct PSD projection Q = G V G^T for the (x, y, cos, sin) state:
+        # dx=c*vd, dy=s*vd, dcos=-s*vth, dsin=c*vth.
+        q = (
+            q.at[0, 0].set(v00 * c * c)
+            .at[0, 1].set(v00 * c * si)
+            .at[1, 0].set(v00 * c * si)
+            .at[1, 1].set(v00 * si * si)
+            .at[2, 2].set(v11 * si * si)
+            .at[2, 3].set(-v11 * c * si)
+            .at[3, 2].set(-v11 * c * si)
+            .at[3, 3].set(v11 * c * c)
+        )
 
     w0 = cfg.ukf.W_0
     scale = n_active.astype(jnp.float32) / (1.0 - w0)
     p_sym = 0.5 * (s.P + s.P.T) * scale
-    sqt_p = _sqrt_spd_clamped(p_sym)
+    if cfg.ukf.sigma_sqrt == "chol":
+        sqt_p, _ = chol_clamped(p_sym, n_active=n_active)
+    else:
+        sqt_p = _sqrt_spd_clamped(p_sym)
 
     # sigma points: [x, x + cols(sqtP), x - cols(sqtP)] (ukf.cpp:213-219)
     xs = s.x[:, None]
@@ -137,7 +183,7 @@ def predict(cfg: Config, s: UKFState, cmd, slam: bool):
     wts = _weights(cfg, du, n_active)
     x_pred = dot32(x_pred_sig, wts)
     dev = x_pred_sig - x_pred[:, None]
-    p_pred = dot32(dev * wts[None, :], dev.T) + jnp.diag(q_diag)
+    p_pred = dot32(dev * wts[None, :], dev.T) + q
     return x_pred, p_pred, x_sig, x_pred_sig, wts
 
 
@@ -198,8 +244,35 @@ def _landmark_update(cfg, carry, r, b, li, wts, committed_yaw, true_map, w_diag,
 
     innov = jnp.stack([r, b]) - z_est
     innov = innov.at[1].set(wrap_angle(innov[1]))
+    if cfg.ukf.sigma_sqrt == "chol":
+        # divergence guard (the role of the reference's try/catch,
+        # ukf.cpp:207-211, and of SURVEY §5's per-world validity masks):
+        # reject an update whose innovation or innovation covariance is
+        # inconsistent — a diverged world then coasts on prediction instead
+        # of spiraling to NaN and poisoning batch statistics.
+        r_gate = 2.0 * cfg.constraints.vision.range_max
+        sane = (
+            (jnp.abs(innov[0]) < r_gate)
+            & (det > 1e-12)
+            & (ss[0, 0] > 0.0)
+            & (ss[1, 1] > 0.0)
+            & jnp.isfinite(innov[0])
+        )
+        gate = gate & sane
     x_new = x_pred + dot32(k, innov)
-    p_new = p_pred - dot32(dot32(k, ss), k.T)
+    if cfg.ukf.sigma_sqrt == "chol":
+        # Joseph form: P - K C^T - C K^T + K S K^T. Equal to P - K S K^T for
+        # the exact gain, but PSD for ANY gain given the PSD joint sigma
+        # covariance [[P, C], [C^T, S]] — which keeps the chol-mode pivot
+        # clamp in the benign fp-noise regime (see chol_clamped).
+        p_new = (
+            p_pred
+            - dot32(k, c.T)
+            - dot32(c, k.T)
+            + dot32(dot32(k, ss), k.T)
+        )
+    else:
+        p_new = p_pred - dot32(dot32(k, ss), k.T)
 
     x_out = jnp.where(gate, x_new, x_pred)
     p_out = jnp.where(gate, p_new, p_pred)

@@ -53,66 +53,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.ops.kernel_math import (
+    atan2 as _atan2,
+    round_up as _round_up,
+    uniform_pm1 as _uniform_pm1,
+    wrap as _wrap,
+)
 
-_TWO_PI = 6.283185307179586
-_PI = 3.141592653589793
-_HALF_PI = 1.5707963267948966
 # Initial pose covariance diag (ekf.cpp:11-18).
 _P0 = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005)
-
-
-def _rint(x):
-    """Round-half-to-even. jnp.round lowers fine in Mosaic; the classic
-    (x + 1.5*2^23) - 1.5*2^23 magic-number trick is NOT safe here because the
-    pallas interpreter evaluates f32 ops at higher precision, where the trick
-    degenerates to the identity (and _wrap then zeroes every heading)."""
-    return jnp.round(x)
-
-
-def _wrap(t):
-    """C remainder(t, 2*pi): exact IEEE nearest-integer remainder."""
-    return t - _TWO_PI * _rint(t * jnp.float32(1.0 / _TWO_PI))
-
-
-def _atan(z):
-    """arctan on [0, 1], ~1e-7 max error (odd minimax polynomial in z^2).
-
-    Mosaic has no atan2 lowering; this plus quadrant fixes implements it.
-    """
-    w = z * z
-    p = jnp.float32(-0.0117212)
-    p = p * w + jnp.float32(0.05265332)
-    p = p * w + jnp.float32(-0.11643287)
-    p = p * w + jnp.float32(0.19354346)
-    p = p * w + jnp.float32(-0.33262347)
-    p = p * w + jnp.float32(0.99997726)
-    return z * p
-
-
-def _atan2(y, x):
-    """Full-quadrant atan2 built from the [0,1] arctan core."""
-    ax = jnp.abs(x)
-    ay = jnp.abs(y)
-    hi = jnp.maximum(ax, ay)
-    lo = jnp.minimum(ax, ay)
-    z = lo / jnp.maximum(hi, jnp.float32(1e-30))
-    a = _atan(z)
-    a = jnp.where(ay > ax, _HALF_PI - a, a)       # reflect above the diagonal
-    a = jnp.where(x < 0.0, _PI - a, a)            # left half-plane
-    return jnp.where(y < 0.0, -a, a)              # lower half-plane
-
-
-def _uniform_pm1(bits):
-    """Random bits -> float32 uniform in [-1, 1).
-
-    prng_random_bits yields SIGNED int32 on TPU; the arithmetic shift keeps
-    the sign, giving a symmetric 24-bit integer in [-2^23, 2^23).
-    """
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 8388608.0)
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
 
 
 def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,

@@ -1,0 +1,595 @@
+"""Fused sim+UKF rollout (SLAM & localization) as a single Pallas TPU kernel.
+
+The XLA UKF path (models/ukf.py) pays a per-tick batched eigendecomposition
+(the reference's nearestSPD + matrix sqrt, ukf.cpp:106-123) plus HBM streaming
+of the (B, Du, Du) covariance — ~35 steps/s/world at 256 worlds. This kernel
+keeps everything VMEM-resident like the EKF kernel (ops/fused_rollout.py) and
+restructures the unscented transform around what the hardware can do:
+
+* **Cholesky sigma points** (UKFConfig.sigma_sqrt="chol"): any S with
+  S S^T = P gives a valid unscented transform (identical propagated mean and
+  covariance to the quadrature's order); a pivot-clamped Cholesky is
+  O(Du^3/3) of pure FMA with no eigensolver, and the measurement update uses
+  the **Joseph form** (P - KC^T - CK^T + KSK^T), which is PSD for any gain —
+  so the clamp only ever sees fp-noise-level negatives, where zeroing the
+  column is benign (PSD Schur: tiny pivot implies tiny column). The XLA path
+  implements the identical factorization and update (models/ukf.py:
+  chol_clamped + Joseph under sigma_sqrt="chol") as the parity oracle; the
+  reference's exact eigen-sqrt + simple update remain there as the default.
+* **Only the 4 vehicle rows propagate.** The motion model (ukf.cpp:125-135)
+  touches (x, y, cos th, sin th) only, so sigma columns keep their +/-L[lm,:]
+  landmark offsets: P_pred's landmark-landmark block equals the (clamped)
+  prior block exactly and is left in place, the vehicle-landmark cross block
+  is L @ g (one matvec pass per vehicle row), and only the 4x4 vehicle block
+  needs explicit weighted sums. O(Du^2) per tick instead of O(Du^2 (2Du+1)).
+* **Sigma columns are never materialized** as a (Du, 2Du+1) array: the +half
+  and -half live as row vectors (columns on sublanes), and every weighted
+  sigma sum splits into a center term, a delta term, and an L-matvec.
+* The per-landmark update (ukf.cpp:293-349) computes the 2x2 innovation
+  covariance and the (Du, 2) cross-covariance the same way: C = delta * sw +
+  L @ g per z-component (two matvec passes), then a masked-gain rank-2
+  downdate identical in structure to the EKF kernel's.
+* Landmark slot == landmark id (known-id mode), masked no-ops via zeroed
+  gains, updates-before-insertions (ukf.cpp:251-287), fresh W block with zero
+  cross-covariance on insertion (ukf.cpp:363-368).
+
+Shortcuts vs the XLA oracle (both O(eps)-level when P stays PD, documented
+for the parity tests): x_pred's landmark rows are the prior rows exactly
+(the oracle's +/-L contributions cancel pairwise), and P_pred's
+landmark-landmark block skips the clamp correction (exact whenever no active
+pivot clamps, i.e. always in default mode).
+
+Compat quirks honored: noise V/W swap (cfg.filter_noise()), zero bearing
+mean (ukf.cpp:310-314), committed-yaw sensing (ukf.cpp:139).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.ops.kernel_math import (
+    atan2 as _atan2,
+    round_up as _round_up,
+    uniform_pm1 as _uniform_pm1,
+    wrap as _wrap,
+)
+
+# Initial covariance diag (ukf.cpp:9-18).
+_P0_DIAG = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005, 0.005 * 0.005)
+_CHOL_EPS = 1e-8
+
+
+def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
+                 bl: int, slam: bool, inject_noise: bool, predicated: bool):
+    (v00f, v11f), (w00f, w11f) = cfg.filter_noise()
+    nz = cfg.sim_noise_scale
+    v00s = cfg.process_noise.V_00 * nz
+    v11s = cfg.process_noise.V_11 * nz
+    w00s = cfg.sensing_noise.W_00 * nz
+    w11s = cfg.sensing_noise.W_11 * nz
+    v_d, v_th = cfg.process_noise.v_d, cfg.process_noise.v_th
+    w_r, w_b = cfg.sensing_noise.w_r, cfg.sensing_noise.w_b
+    d_max = cfg.constraints.commands.d_max
+    th_max = cfg.constraints.commands.th_max
+    r_max = cfg.constraints.vision.range_max
+    fov_min = cfg.constraints.vision.fov_min
+    fov_max = cfg.constraints.vision.fov_max
+    w0 = cfg.ukf.W_0
+    zero_b_mean = cfg.compat.ukf_zero_bearing_mean
+    committed_yaw = cfg.compat.ukf_committed_yaw_in_sensing
+    signed_q = cfg.compat.ukf_signed_process_noise
+    x0, y0, yaw0 = cfg.init_pose
+
+    def kernel(seed_ref, cmds_ref, lms_ref, *rest):
+        if inject_noise:
+            noise_ref = rest[0]
+            rest = rest[1:]
+        (stats_ref, x_ref, p_ref, seen_ref, l_ref, sigp_ref, sigm_ref) = rest
+        blk = pl.program_id(0)
+        tc = pl.program_id(1)
+        if not inject_noise:
+            pltpu.prng_seed(seed_ref[0] + blk * 1000003 + tc * 7919)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (dup, bl), 0)
+
+        def matvec_l(l_ref_, g):
+            """sum_j L[:, j, :] * g[j, :] -> (dup, bl). The single full
+            product is ~16% faster than 8-sublane-chunk accumulation (and
+            chunking did not shrink scoped VMEM enough for block 256
+            anyway, so block_worlds stays 128)."""
+            return jnp.sum(l_ref_[:, :, :] * g[None, :, :], axis=1)
+
+        @pl.when(tc == 0)
+        def _init():
+            x_ref[:, :] = jnp.zeros((dup, bl), jnp.float32)
+            x_ref[0:1, :] = jnp.full((1, bl), x0, jnp.float32)
+            x_ref[1:2, :] = jnp.full((1, bl), y0, jnp.float32)
+            x_ref[2:3, :] = jnp.full((1, bl), math.cos(yaw0), jnp.float32)
+            x_ref[3:4, :] = jnp.full((1, bl), math.sin(yaw0), jnp.float32)
+            p_ref[:, :, :] = jnp.zeros((dup, dup, bl), jnp.float32)
+            for i, v in enumerate(_P0_DIAG):
+                p_ref[i, i:i + 1, :] = jnp.full((1, bl), v, jnp.float32)
+            seen_ref[:, :] = jnp.zeros((n_lm, bl), jnp.float32)
+            stats_ref[:, :] = jnp.zeros((8, bl), jnp.float32)
+            stats_ref[1:2, :] = jnp.full((1, bl), x0, jnp.float32)
+            stats_ref[2:3, :] = jnp.full((1, bl), y0, jnp.float32)
+            stats_ref[3:4, :] = jnp.full((1, bl), yaw0, jnp.float32)
+
+        lx = lms_ref[:, 0, :]  # (N, BL) true landmark x
+        ly = lms_ref[:, 1, :]
+
+        def tick(t, _):
+            cmd = cmds_ref[t]
+            fwd = cmd[0:1, :]
+            ang = cmd[1:2, :]
+
+            if inject_noise:
+                u = noise_ref[t]
+            else:
+                bits = pltpu.prng_random_bits((2 * n_lm + 8, bl))
+                u = _uniform_pm1(bits)
+
+            # ---- truth propagation + sensing (sim_node.py:209-250), same as
+            # the EKF kernel
+            tx = stats_ref[1:2, :]
+            ty = stats_ref[2:3, :]
+            tth = stats_ref[3:4, :]
+            d_n = jnp.clip(fwd + v00s * u[0:1, :], 0.0, d_max)
+            h_n = jnp.clip(ang + v11s * u[1:2, :], -th_max, th_max)
+            tx = tx + d_n * jnp.cos(tth)
+            ty = ty + d_n * jnp.sin(tth)
+            tth = tth + h_n
+            stats_ref[1:2, :] = tx
+            stats_ref[2:3, :] = ty
+            stats_ref[3:4, :] = tth
+
+            dxl = lx - tx
+            dyl = ly - ty
+            r_true = jnp.sqrt(dxl * dxl + dyl * dyl)
+            beta = _wrap(_atan2(dyl, dxl) - tth)
+            vis = (
+                (r_true <= r_max) & (beta > fov_min) & (beta < fov_max)
+            ).astype(jnp.float32)
+            rn_all = r_true + w00s * u[2: 2 + n_lm, :]
+            bn_all = beta + w11s * u[2 + n_lm: 2 + 2 * n_lm, :]
+
+            # ---- UKF predict (ukf.cpp:197-241)
+            xc = x_ref[2:3, :]
+            xs = x_ref[3:4, :]
+            yaw_c = _atan2(xs, xc)  # committed yaw (ukf.cpp:181)
+            if slam:
+                n_act = 4.0 + 2.0 * jnp.sum(seen_ref[:, :], axis=0,
+                                            keepdims=True)  # (1, BL)
+            else:
+                n_act = jnp.full((1, bl), 4.0, jnp.float32)
+            scale = n_act / jnp.float32(1.0 - w0)
+            wbar = jnp.float32(1.0 - w0) / (2.0 * n_act)
+            # active sigma-column mask (models/ukf.py:_weights). With slot=id
+            # the active dimensions are NOT a prefix: dim 4+2j/5+2j is active
+            # iff landmark j has been inserted, so the mask is built from the
+            # seen flags, not an index threshold.
+            colmask = (iota < 4).astype(jnp.float32)
+            if slam:
+                for j in range(n_lm):
+                    dimj = (iota == 4 + 2 * j) | (iota == 5 + 2 * j)
+                    colmask = colmask + jnp.where(
+                        dimj, seen_ref[j:j + 1, :], 0.0
+                    )
+            wm = wbar * colmask  # (DUP, BL) weight of column pair j
+
+            # pivot-clamped Cholesky of P*scale, in place in l_ref
+            # (models/ukf.py:chol_clamped is the jittable oracle twin)
+            l_ref[:, :, :] = p_ref[:, :, :] * scale[None, :, :]
+            for j in range(du):
+                pivot = l_ref[j, j:j + 1, :]  # (1, BL)
+                ok = (pivot > _CHOL_EPS).astype(jnp.float32)
+                dval = jnp.sqrt(jnp.maximum(pivot, _CHOL_EPS))
+                colv = l_ref[:, j, :]  # (DUP, BL)
+                below = jnp.where(iota > j, colv, 0.0) * (ok / dval)
+                if j + 1 < du:
+                    l_ref[j + 1:, :, :] = (
+                        l_ref[j + 1:, :, :]
+                        - below[:, None, :][j + 1:] * below[None, :, :]
+                    )
+                colfinal = below + jnp.where(iota == j, 1.0, 0.0) * dval
+                l_ref[:, j:j + 1, :] = colfinal[:, None, :]
+
+            # sigma vehicle rows: center and +/- halves (columns on sublanes)
+            la0 = l_ref[0, :, :]
+            la1 = l_ref[1, :, :]
+            la2 = l_ref[2, :, :]
+            la3 = l_ref[3, :, :]
+            xv0 = x_ref[0:1, :]
+            xv1 = x_ref[1:2, :]
+
+            mv = fwd + v_d  # commanded forward + noise mean
+            ath = ang + v_th
+
+            def propagate(px, py, pc, ps):
+                yaw = _atan2(ps, pc)
+                nyaw = _wrap(yaw + ath)
+                return (
+                    px + mv * jnp.cos(yaw),
+                    py + mv * jnp.sin(yaw),
+                    jnp.cos(nyaw),
+                    jnp.sin(nyaw),
+                    nyaw,
+                )
+
+            pxn, pyn, pcn, psn, pyaw = propagate(
+                xv0 + la0, xv1 + la1, xc + la2, xs + la3
+            )
+            mxn, myn, mcn, msn, myaw = propagate(
+                xv0 - la0, xv1 - la1, xc - la2, xs - la3
+            )
+            cxn, cyn, ccn, csn, cyaw = propagate(xv0, xv1, xc, xs)
+            sigp_ref[0, :, :] = pxn
+            sigp_ref[1, :, :] = pyn
+            sigp_ref[2, :, :] = pyaw
+            sigm_ref[0, :, :] = mxn
+            sigm_ref[1, :, :] = myn
+            sigm_ref[2, :, :] = myaw
+
+            # x_pred vehicle rows (landmark rows unchanged: the oracle's
+            # +/-L contributions cancel)
+            def smean(c, p, m):
+                return w0 * c + jnp.sum(wm * (p + m), axis=0, keepdims=True)
+
+            m0 = smean(cxn, pxn, mxn)
+            m1 = smean(cyn, pyn, myn)
+            m2 = smean(ccn, pcn, mcn)
+            m3 = smean(csn, psn, msn)
+            x_ref[0:1, :] = m0
+            x_ref[1:2, :] = m1
+            x_ref[2:3, :] = m2
+            x_ref[3:4, :] = m3
+            x_pred0 = x_ref[:, :]  # committed predict mean (value snapshot)
+
+            # P_pred: vehicle 4x4 block + vehicle-landmark cross rows/cols;
+            # landmark-landmark block stays (see module docstring)
+            dps = (pxn - m0, pyn - m1, pcn - m2, psn - m3)
+            dms = (mxn - m0, myn - m1, mcn - m2, msn - m3)
+            dcs = (cxn - m0, cyn - m1, ccn - m2, csn - m3)
+            # process noise (ukf.cpp:182-186): signed-diag reference quirk
+            # behind compat (indefinite P; prefer the XLA eigh path for long
+            # compat rollouts), correct PSD projection Q = G V G^T otherwise
+            cyawv = jnp.cos(yaw_c)
+            syawv = jnp.sin(yaw_c)
+            if signed_q:
+                qd = {
+                    (0, 0): v00f * cyawv, (1, 1): v00f * syawv,
+                    (2, 2): v11f * cyawv, (3, 3): v11f * syawv,
+                }
+            else:
+                qd = {
+                    (0, 0): v00f * cyawv * cyawv,
+                    (0, 1): v00f * cyawv * syawv,
+                    (1, 1): v00f * syawv * syawv,
+                    (2, 2): v11f * syawv * syawv,
+                    (2, 3): -v11f * cyawv * syawv,
+                    (3, 3): v11f * cyawv * cyawv,
+                }
+            p44 = {}
+            for a in range(4):
+                for b in range(a, 4):
+                    s = w0 * dcs[a] * dcs[b] + jnp.sum(
+                        wm * (dps[a] * dps[b] + dms[a] * dms[b]),
+                        axis=0, keepdims=True,
+                    )
+                    if (a, b) in qd:
+                        s = s + qd[(a, b)]
+                    p44[(a, b)] = s
+            rows4 = []
+            for a in range(4):
+                g_a = wm * (dps[a] - dms[a])  # (DUP, BL)
+                cross = matvec_l(l_ref, g_a)  # (DUP, BL) = L @ g_a
+                head = jnp.zeros((dup, bl), jnp.float32)
+                for b in range(4):
+                    v = p44[(min(a, b), max(a, b))]
+                    head = head + jnp.where(iota == b, v, 0.0)
+                rows4.append(jnp.where(iota < 4, head, cross))
+            for a in range(4):
+                p_ref[a, :, :] = rows4[a]
+            for a in range(4):
+                p_ref[:, a:a + 1, :] = rows4[a][:, None, :]
+
+            if slam:
+                seen_now = seen_ref[:, :]
+                m_u_all = vis * seen_now
+                m_i_all = vis * (1.0 - seen_now)
+                upd_any_vec = jnp.max(m_u_all, axis=1, keepdims=True)
+                ins_any_vec = jnp.max(m_i_all, axis=1, keepdims=True)
+            else:
+                m_u_all = vis
+                upd_any_vec = jnp.max(vis, axis=1, keepdims=True)
+
+            # ---- pass 1: landmark updates (ukf.cpp:293-349)
+            for j in range(n_lm):
+                m_u = m_u_all[j:j + 1, :]
+                rn = rn_all[j:j + 1, :]
+                bn = bn_all[j:j + 1, :]
+                upd_any = (upd_any_vec[j, 0] > 0.0) if predicated else True
+
+                @pl.when(upd_any)
+                def _update():
+                    if slam:
+                        li = 4 + 2 * j
+                        lmx_c = x_pred0[li:li + 1, :]
+                        lmy_c = x_pred0[li + 1:li + 2, :]
+                        ll0 = l_ref[li, :, :]
+                        ll1 = l_ref[li + 1, :, :]
+                        lxp, lxm = lmx_c + ll0, lmx_c - ll0
+                        lyp, lym = lmy_c + ll1, lmy_c - ll1
+                    else:
+                        lmx_c = lx[j:j + 1, :]
+                        lmy_c = ly[j:j + 1, :]
+                        lxp = lxm = jnp.broadcast_to(lmx_c, (dup, bl))
+                        lyp = lym = jnp.broadcast_to(lmy_c, (dup, bl))
+
+                    def z_of(lmx, lmy, sx, sy, syaw):
+                        ddx = lmx - sx
+                        ddy = lmy - sy
+                        r = jnp.sqrt(ddx * ddx + ddy * ddy) + w_r
+                        yaw = yaw_c if committed_yaw else syaw
+                        b = _wrap(_atan2(ddy, ddx) - yaw + w_b)
+                        return r, b
+
+                    r_p, b_p = z_of(lxp, lyp, sigp_ref[0, :, :],
+                                    sigp_ref[1, :, :], sigp_ref[2, :, :])
+                    r_m, b_m = z_of(lxm, lym, sigm_ref[0, :, :],
+                                    sigm_ref[1, :, :], sigm_ref[2, :, :])
+                    r_c, b_c = z_of(lmx_c, lmy_c, cxn, cyn, cyaw)
+
+                    z_r = w0 * r_c + jnp.sum(
+                        wm * (r_p + r_m), axis=0, keepdims=True
+                    )
+                    if zero_b_mean:
+                        z_b = jnp.zeros((1, bl), jnp.float32)
+                    else:
+                        sb = w0 * jnp.sin(b_c) + jnp.sum(
+                            wm * (jnp.sin(b_p) + jnp.sin(b_m)),
+                            axis=0, keepdims=True,
+                        )
+                        cb = w0 * jnp.cos(b_c) + jnp.sum(
+                            wm * (jnp.cos(b_p) + jnp.cos(b_m)),
+                            axis=0, keepdims=True,
+                        )
+                        z_b = _atan2(sb, cb)
+
+                    dr_p, dr_m, dr_c = r_p - z_r, r_m - z_r, r_c - z_r
+                    db_p = _wrap(b_p - z_b)
+                    db_m = _wrap(b_m - z_b)
+                    db_c = _wrap(b_c - z_b)
+
+                    def wsum(ap, am, ac):
+                        return w0 * ac + jnp.sum(
+                            wm * (ap + am), axis=0, keepdims=True
+                        )
+
+                    s00 = wsum(dr_p * dr_p, dr_m * dr_m, dr_c * dr_c) + w00f
+                    s01 = wsum(dr_p * db_p, dr_m * db_m, dr_c * db_c)
+                    s11 = wsum(db_p * db_p, db_m * db_m, db_c * db_c) + w11f
+
+                    # cross-covariance C = sum_s w dev_x diff^T: landmark rows
+                    # via delta + L-matvec, vehicle rows explicit
+                    delta = x_pred0 - x_ref[:, :]  # (DUP, BL)
+                    dev4 = (
+                        sigp_ref[0, :, :] - x_ref[0:1, :],
+                        sigp_ref[1, :, :] - x_ref[1:2, :],
+                        pcn - x_ref[2:3, :],
+                        psn - x_ref[3:4, :],
+                    )
+                    dev4m = (
+                        sigm_ref[0, :, :] - x_ref[0:1, :],
+                        sigm_ref[1, :, :] - x_ref[1:2, :],
+                        mcn - x_ref[2:3, :],
+                        msn - x_ref[3:4, :],
+                    )
+                    dev4c = (
+                        cxn - x_ref[0:1, :],
+                        cyn - x_ref[1:2, :],
+                        ccn - x_ref[2:3, :],
+                        csn - x_ref[3:4, :],
+                    )
+
+                    def cross_col(d_p, d_m, d_c):
+                        sw = wsum(d_p, d_m, d_c)  # (1, BL)
+                        g = wm * (d_p - d_m)
+                        c_full = delta * sw + matvec_l(l_ref, g)
+                        head = jnp.zeros((dup, bl), jnp.float32)
+                        for a in range(4):
+                            va = w0 * dev4c[a] * d_c + jnp.sum(
+                                wm * (dev4[a] * d_p + dev4m[a] * d_m),
+                                axis=0, keepdims=True,
+                            )
+                            head = head + jnp.where(iota == a, va, 0.0)
+                        return jnp.where(iota < 4, head, c_full)
+
+                    c_r = cross_col(dr_p, dr_m, dr_c)
+                    c_b = cross_col(db_p, db_m, db_c)
+
+                    det = s00 * s11 - s01 * s01
+                    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+                    i00 = s11 / det
+                    i01 = -s01 / det
+                    i11 = s00 / det
+
+                    nu_r = rn - z_r
+                    nu_b = _wrap(bn - z_b)
+                    # divergence guard (ukf.cpp:207-211's try/catch role +
+                    # SURVEY §5 validity masks): reject inconsistent updates
+                    # so a diverged world coasts instead of going NaN
+                    sane = (
+                        (jnp.abs(nu_r) < 2.0 * r_max)
+                        & (det > 1e-12)
+                        & (s00 > 0.0)
+                        & (s11 > 0.0)
+                    ).astype(jnp.float32)
+                    stats_ref[4:5, :] = stats_ref[4:5, :] + m_u * (1.0 - sane)
+                    m_g = m_u * sane
+
+                    k0 = (c_r * i00 + c_b * i01) * m_g
+                    k1 = (c_r * i01 + c_b * i11) * m_g
+                    x_ref[:, :] = x_ref[:, :] + k0 * nu_r + k1 * nu_b
+
+                    # Joseph form P -= K C^T + C K^T - K S K^T (see
+                    # models/ukf.py): PSD for any gain, which keeps the
+                    # pivot clamp benign; masked gains still make skipped
+                    # worlds exact no-ops (every term carries k)
+                    a0 = s00 * k0 + s01 * k1
+                    a1 = s01 * k0 + s11 * k1
+                    p_ref[:, :, :] = (
+                        p_ref[:, :, :]
+                        - k0[:, None, :] * c_r[None, :, :]
+                        - k1[:, None, :] * c_b[None, :, :]
+                    )
+                    p_ref[:, :, :] = (
+                        p_ref[:, :, :]
+                        - c_r[:, None, :] * k0[None, :, :]
+                        - c_b[:, None, :] * k1[None, :, :]
+                    )
+                    p_ref[:, :, :] = (
+                        p_ref[:, :, :]
+                        + a0[:, None, :] * k0[None, :, :]
+                        + a1[:, None, :] * k1[None, :, :]
+                    )
+
+            # ---- pass 2: insertions (slam only; ukf.cpp:351-372)
+            if slam:
+                yaw_now = _atan2(x_ref[3:4, :], x_ref[2:3, :])
+                for j in range(n_lm):
+                    li = 4 + 2 * j
+                    m_i = m_i_all[j:j + 1, :]
+                    visj = vis[j:j + 1, :]
+                    ins_any = (ins_any_vec[j, 0] > 0.0) if predicated else True
+
+                    @pl.when(ins_any)
+                    def _insert():
+                        rn = rn_all[j:j + 1, :]
+                        bn = bn_all[j:j + 1, :]
+                        tb = yaw_now + bn
+                        sx = x_ref[0:1, :] + rn * jnp.cos(tb)
+                        sy = x_ref[1:2, :] + rn * jnp.sin(tb)
+                        ins = m_i > 0
+                        x_ref[li:li + 1, :] = jnp.where(
+                            ins, sx, x_ref[li:li + 1, :]
+                        )
+                        x_ref[li + 1:li + 2, :] = jnp.where(
+                            ins, sy, x_ref[li + 1:li + 2, :]
+                        )
+                        # fresh W block, zero cross terms (rows/cols of an
+                        # uninserted slot are exactly zero by induction)
+                        p_ref[li, li:li + 1, :] = jnp.where(
+                            ins, jnp.float32(w00f), p_ref[li, li:li + 1, :]
+                        )
+                        p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
+                            ins, jnp.float32(w11f),
+                            p_ref[li + 1, li + 1:li + 2, :],
+                        )
+                    seen_ref[j:j + 1, :] = jnp.maximum(
+                        seen_ref[j:j + 1, :], visj
+                    )
+
+            # ---- error metric (plotting_node.py:195-218)
+            ex = x_ref[0:1, :] - stats_ref[1:2, :]
+            ey = x_ref[1:2, :] - stats_ref[2:3, :]
+            stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+            return 0
+
+        jax.lax.fori_loop(0, t_chunk, tick, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "slam", "block_worlds", "interpret", "t_chunk"),
+)
+def fused_ukf_rollout(
+    cfg: Config, landmarks, cmds, seed, slam: bool = True,
+    block_worlds: int = 128, interpret: bool = False, noise=None,
+    t_chunk: int = 125,
+):
+    """Full T-step sim+UKF rollout for a world batch in one kernel.
+
+    landmarks: (B, N, 2) true maps (also the known map in loc mode);
+    cmds: (B, T, 2). Returns dict with per-world err_sum, final true pose,
+    final filter state x (B, Du) / P (B, Du, Du), and seen mask (slam).
+    """
+    if not cfg.constraints.measurements.landmark_id_is_known:
+        raise ValueError("fused rollout requires known landmark ids")
+    b, n_lm, _ = landmarks.shape
+    t_total = cmds.shape[1]
+    bl = block_worlds
+    if b % bl != 0:
+        raise ValueError(f"batch {b} must be a multiple of block_worlds {bl}")
+    if t_total % t_chunk != 0:
+        t_chunk = t_total
+    n_chunks = t_total // t_chunk
+    du = 4 + 2 * n_lm if slam else 4
+    dup = _round_up(du, 8)
+
+    cmds_t = jnp.transpose(cmds, (1, 2, 0)).astype(jnp.float32)
+    lms_t = jnp.transpose(landmarks, (1, 2, 0)).astype(jnp.float32)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    kernel = _make_kernel(
+        cfg, n_lm, t_chunk, du, dup, bl, slam,
+        inject_noise=noise is not None,
+        predicated=not interpret,
+    )
+    in_specs = [
+        pl.BlockSpec((t_chunk, 2, bl), lambda i, tc, *_: (tc, 0, i)),
+        pl.BlockSpec((n_lm, 2, bl), lambda i, tc, *_: (0, 0, i)),
+    ]
+    inputs = [seed_arr, cmds_t, lms_t]
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (t_chunk, 2 * n_lm + 8, bl), lambda i, tc, *_: (tc, 0, i)
+            )
+        )
+        inputs.append(jnp.asarray(noise, jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bl, n_chunks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((8, bl), lambda i, tc, *_: (0, i)),
+            pl.BlockSpec((dup, bl), lambda i, tc, *_: (0, i)),
+            pl.BlockSpec((dup, dup, bl), lambda i, tc, *_: (0, 0, i)),
+            pl.BlockSpec((n_lm, bl), lambda i, tc, *_: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dup, dup, bl), jnp.float32),  # Cholesky factor L
+            pltpu.VMEM((3, dup, bl), jnp.float32),    # +half veh sigma rows
+            pltpu.VMEM((3, dup, bl), jnp.float32),    # -half veh sigma rows
+        ],
+    )
+    stats, x_out, p_out, seen = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, b), jnp.float32),
+            jax.ShapeDtypeStruct((dup, b), jnp.float32),
+            jax.ShapeDtypeStruct((dup, dup, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_lm, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    return {
+        "err_sum": stats[0],
+        "update_rejects": stats[4],  # divergence-guard rejections per world
+        "true_pose": jnp.transpose(stats[1:4], (1, 0)),
+        "x": jnp.transpose(x_out, (1, 0))[:, :du],
+        "P": jnp.transpose(p_out, (2, 0, 1))[:, :du, :du],
+        "seen": jnp.transpose(seen, (1, 0)) > 0.5,
+    }

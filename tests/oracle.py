@@ -163,6 +163,7 @@ class UKFOracle:
         true_map=None,
         zero_bearing_mean=True,
         committed_yaw=True,
+        signed_q=True,
     ):
         self.x_t = np.array(
             [x0, y0, math.cos(yaw0), math.sin(yaw0)], dtype=np.float64
@@ -177,6 +178,7 @@ class UKFOracle:
         self.true_map = true_map  # (N, 2) by id, loc mode
         self.zero_bearing_mean = zero_bearing_mean
         self.committed_yaw = committed_yaw
+        self.signed_q = signed_q
         self.lm_ids: list[int] = []
         self.M = 0
 
@@ -218,10 +220,21 @@ class UKFOracle:
         n = 2 * self.M + 4
         yaw = self._yaw(self.x_t)
         Q = np.zeros((n, n))
-        Q[0, 0] = self.V[0, 0] * math.cos(yaw)
-        Q[1, 1] = self.V[0, 0] * math.sin(yaw)
-        Q[2, 2] = self.V[1, 1] * math.cos(yaw)
-        Q[3, 3] = self.V[1, 1] * math.sin(yaw)
+        c, si = math.cos(yaw), math.sin(yaw)
+        if self.signed_q:
+            # reference quirk (ukf.cpp:182-186): signed diag
+            Q[0, 0] = self.V[0, 0] * c
+            Q[1, 1] = self.V[0, 0] * si
+            Q[2, 2] = self.V[1, 1] * c
+            Q[3, 3] = self.V[1, 1] * si
+        else:
+            # corrected PSD projection Q = G V G^T
+            Q[0, 0] = self.V[0, 0] * c * c
+            Q[0, 1] = Q[1, 0] = self.V[0, 0] * c * si
+            Q[1, 1] = self.V[0, 0] * si * si
+            Q[2, 2] = self.V[1, 1] * si * si
+            Q[2, 3] = Q[3, 2] = -self.V[1, 1] * c * si
+            Q[3, 3] = self.V[1, 1] * c * c
 
         # prediction
         sqtP = self._nearest_spd_sqrt(self.P_t, n)

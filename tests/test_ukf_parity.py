@@ -34,6 +34,7 @@ def _oracle(cfg, slam=True, true_map=None):
         true_map=true_map,
         zero_bearing_mean=cfg.compat.ukf_zero_bearing_mean,
         committed_yaw=cfg.compat.ukf_committed_yaw_in_sensing,
+        signed_q=cfg.compat.ukf_signed_process_noise,
     )
 
 
