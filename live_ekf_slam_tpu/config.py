@@ -118,6 +118,10 @@ class PoseGraphConfig:
     lambda_factor: float = 10.0
     rel_err_tol: float = 1e-5
     prior_sigmas: tuple[float, float, float] = (1.3, 1.3, 1.2)  # pose_graph.cpp:83
+    # Iterative-mode (solve_graph_every_iteration) per-tick incremental
+    # solver: matrix-free Jacobi-PCG Gauss-Newton steps per tick.
+    gn_steps_per_tick: int = 1
+    pcg_iters: int = 12
 
 
 @_freeze()

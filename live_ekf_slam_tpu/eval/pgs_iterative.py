@@ -1,16 +1,14 @@
-"""Iterative pose-graph mode: solve_graph_every_iteration=true.
+"""Host-loop iterative pose-graph mode (validation/debug path).
 
 The reference re-optimizes the whole graph after every tick and feeds the
-result back as the next initial estimate (pose_graph.cpp:262-267). Our dense
-masked solver makes each solve O((3T+2N)^3), so a per-tick device solve at
-T=1000 is impractical this round (see TODO.md: incremental/CG solver); this
-host-driven loop provides the mode exactly — per-tick masked solve with
-warm-started initial values — and is intended for small/medium T.
-
-The warm-start mirrors the reference's `initial_estimate = result` feedback:
-later factor additions use *optimized* history rather than the raw secondary
-estimates, which is what gives iterative PGS its slight edge in the
-reference's data (BASELINE.md: 0.1802 iterative vs 0.1807 one-time).
+result back as the next initial estimate (pose_graph.cpp:262-267). The
+PRODUCTION path for this mode is now fully on-device: the per-tick
+matrix-free PCG Gauss-Newton solve inside the Monte-Carlo scan
+(models/posegraph.py:solve_iteration, wired into eval/runner.py when
+cfg.pose_graph.solve_graph_every_iteration is true — the reference default).
+This host-driven loop remains as an exact, dense-solver-per-tick validation
+harness for small/medium T: each tick runs the full dense LM solve with
+warm-started initial values, mirroring `initial_estimate = result` feedback.
 """
 
 from __future__ import annotations

@@ -86,6 +86,17 @@ def _filter_state_vector(cfg: Config, name: str, state):
     raise ValueError(name)
 
 
+def _filter_landmarks(cfg: Config, name: str, state):
+    """(lm_xy (N, 2), ids, M) of a SLAM secondary, for the pose graph's
+    update_landmarks_after_adding coupling (pose_graph.cpp:111-118); None for
+    filters without landmark estimates."""
+    if name == "ekf_slam":
+        return state.x[3:].reshape(-1, 2), state.ids, state.M
+    if name == "ukf_slam":
+        return state.x[4:].reshape(-1, 2), state.ids, state.M
+    return None
+
+
 def make_step(cfg: Config, collect: str = "sums"):
     """Build the fused per-tick step for cfg.filter.
 
@@ -115,10 +126,25 @@ def make_step(cfg: Config, collect: str = "sums"):
                 true_map=world.landmarks,
             )
             sec_pose = _filter_pose(secondary, sec_state)
+            sec_lms = _filter_landmarks(cfg, secondary, sec_state)
             pg = posegraph.update_naive_estimate(
-                carry.primary, _filter_state_vector(cfg, secondary, sec_state)
+                carry.primary,
+                _filter_state_vector(cfg, secondary, sec_state),
+                secondary_lms=None if sec_lms is None else sec_lms[0],
+                secondary_ids=None if sec_lms is None else sec_lms[1],
+                secondary_m=None if sec_lms is None else sec_lms[2],
+                update_landmarks=(
+                    cfg.pose_graph.update_landmarks_after_adding
+                    and sec_lms is not None
+                ),
             )
+            m_prev = pg.M
             prim_state = posegraph.update(cfg, pg, cmd, meas)
+            if cfg.pose_graph.solve_graph_every_iteration:
+                # the reference's default mode (pose_graph.cpp:262-267):
+                # re-solve every tick, feeding the result back as the next
+                # initial estimate (incremental PCG-GN, models/posegraph.py)
+                prim_state = posegraph.solve_iteration(cfg, prim_state, m_prev)
             est_pose = sec_pose  # published state is the secondary's
             err_sec = err_sec + jnp.linalg.norm(sec_pose[:2] - truth_xy)
         else:
@@ -185,6 +211,55 @@ def _single_world_run(cfg: Config, collect: str, landmarks, key):
     return final, outs
 
 
+def _batched_rollout_chunked(cfg: Config, collect, lms, keys, n_seg: int):
+    """scan(vmap(step)) split into n_seg time segments, one device call each.
+
+    The per-tick PCG of iterative pose-graph mode makes a T=1000 rollout's
+    single execution exceed the TPU tunnel's ~60 s per-call watchdog at
+    useful batch sizes; segmenting the scan keeps each call short while the
+    carry stays on device. Key handling mirrors _single_world_run exactly.
+    """
+    t_total = cfg.num_iterations
+
+    @jax.jit
+    def initfn(lms, keys):
+        def one(l, k):
+            k_traj, k_roll = jax.random.split(k)
+            carry = init_carry(cfg, l, l.shape[0])
+            if cfg.precompute_trajectory:
+                cmds = generate_trajectory(cfg, l, l.shape[0], k_traj)
+            else:
+                cmds = jnp.zeros((t_total, 2), jnp.float32)
+            tick_keys = jax.random.split(k_roll, t_total)
+            return carry, cmds, tick_keys
+        return jax.vmap(one)(lms, keys)
+
+    carry, cmds, tick_keys = initfn(lms, keys)
+    step = make_step(cfg, collect)
+
+    @jax.jit
+    def seg(carry, cmds_seg, keys_seg):
+        def batched(c, inp):
+            return jax.vmap(step)(c, inp)
+        return jax.lax.scan(
+            batched, carry,
+            (jnp.swapaxes(cmds_seg, 0, 1), jnp.swapaxes(keys_seg, 0, 1)),
+        )
+
+    seg_len = -(-t_total // n_seg)
+    outs_parts = []
+    for i in range(0, t_total, seg_len):
+        j = min(i + seg_len, t_total)
+        carry, outs = seg(carry, cmds[:, i:j], tick_keys[:, i:j])
+        outs_parts.append(outs)
+    if outs_parts[0] is None:
+        return carry, None
+    outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts)
+    # scan-major (T, B, ...) -> world-major (B, T, ...)
+    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+    return carry, outs
+
+
 def run_monte_carlo(
     cfg: Config,
     key,
@@ -239,11 +314,21 @@ def run_monte_carlo(
         }
         return results, out, None
 
-    fn = functools.partial(_single_world_run, cfg, collect)
-    batched = jax.vmap(fn)
-    if jit:
-        batched = jax.jit(batched)
-    final, outs = batched(lms, keys)
+    iterative_pgs = (
+        cfg.filter == "pose_graph"
+        and cfg.pose_graph.solve_graph_every_iteration
+    )
+    if iterative_pgs and jit:
+        # per-tick PCG makes one full-T call exceed the device watchdog;
+        # segment the scan (~125 ticks/call keeps calls well under it)
+        n_seg = max(1, cfg.num_iterations // 125)
+        final, outs = _batched_rollout_chunked(cfg, collect, lms, keys, n_seg)
+    else:
+        fn = functools.partial(_single_world_run, cfg, collect)
+        batched = jax.vmap(fn)
+        if jit:
+            batched = jax.jit(batched)
+        final, outs = batched(lms, keys)
 
     t_total = cfg.num_iterations
     results = {
@@ -258,7 +343,18 @@ def run_monte_carlo(
         if collect != "poses":
             raise ValueError("pose_graph runs need collect='poses' for metrics")
         true_poses = outs[0]  # (B, T, 3)
-        solve_fn = jax.jit(jax.vmap(lambda s: posegraph.solve(cfg, s)[:2]))
+        if cfg.pose_graph.solve_graph_every_iteration:
+            # final polish warm-started by the per-tick feedback
+            # (initial_estimate = result, pose_graph.cpp:262-267)
+            solve_fn = jax.jit(
+                jax.vmap(
+                    lambda s: posegraph.solve(
+                        cfg, s, poses0=s.poses_sol, lms0=s.lms_sol
+                    )[:2]
+                )
+            )
+        else:
+            solve_fn = jax.jit(jax.vmap(lambda s: posegraph.solve(cfg, s)[:2]))
         err_pg = []
         for i in range(0, batch, solve_chunk):
             sub = jax.tree.map(lambda a: a[i: i + solve_chunk], final.primary)

@@ -59,10 +59,40 @@ def init(cfg: Config, init_pose=None) -> PoseGraphState:
     )
 
 
-def update_naive_estimate(s: PoseGraphState, secondary_pose) -> PoseGraphState:
+def update_naive_estimate(
+    s: PoseGraphState,
+    secondary_pose,
+    secondary_lms=None,
+    secondary_ids=None,
+    secondary_m=None,
+    update_landmarks: bool = False,
+) -> PoseGraphState:
     """updateNaiveVehPoseEstimate (pose_graph.cpp:97-119): store the secondary
-    filter's current pose to seed the next graph node."""
-    return s.replace(cur_pose=secondary_pose[:3])
+    filter's current pose to seed the next graph node.
+
+    With `update_landmarks` (PoseGraphConfig.update_landmarks_after_adding,
+    pose_graph.cpp:111-118) and a SLAM secondary, the graph's initial landmark
+    values are refreshed each tick from the secondary's landmark estimates
+    (matched by id). The reference updates `initial_estimate`, which in
+    iterative mode also holds the solve feedback — so both lms_init and
+    lms_sol are refreshed here.
+    """
+    s = s.replace(cur_pose=secondary_pose[:3])
+    if not update_landmarks or secondary_lms is None:
+        return s
+    n_cap = s.ids.shape[0]
+    slot_idx = jnp.arange(n_cap)
+    sec_idx = jnp.arange(secondary_ids.shape[0])
+    # graph slot i (id gid) <- secondary slot j with ids[j] == gid
+    match = (secondary_ids[None, :] == s.ids[:, None]) & (
+        sec_idx[None, :] < secondary_m
+    )  # (N_graph, N_sec)
+    found = jnp.any(match, axis=1) & (slot_idx < s.M)
+    j = jnp.argmax(match, axis=1)
+    est = secondary_lms[j]  # (N_graph, 2)
+    lms_init = jnp.where(found[:, None], est, s.lms_init)
+    lms_sol = jnp.where(found[:, None], est, s.lms_sol)
+    return s.replace(lms_init=lms_init, lms_sol=lms_sol)
 
 
 def update(cfg: Config, s: PoseGraphState, cmd, meas: Measurements) -> PoseGraphState:
@@ -251,25 +281,15 @@ def graph_error(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     )
 
 
-def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
-    """Dense damped-GN system: returns (H, g) with H = J^T J, g = -J^T r."""
-    t_cap = s.odom.shape[0]
-    n_cap = s.lms_init.shape[0]
-    dim = 3 * (t_cap + 1) + 2 * n_cap
+def _jacobians(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
+    """Whitened factor Jacobians + residuals, shared by the dense assembler
+    and the matrix-free PCG solver."""
     odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
     prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
 
     r_prior, r_odom, r_meas, rng_safe, (mdx, mdy) = _residuals(
         cfg, s, poses, lms, meas_scale
     )
-
-    h = jnp.zeros((dim, dim), jnp.float32)
-    g = jnp.zeros(dim, jnp.float32)
-
-    # ---- prior: J = diag(1/sigma) on pose-0 block ----
-    inv_pr = 1.0 / prior_s
-    h = h.at[jnp.arange(3), jnp.arange(3)].add(inv_pr ** 2)
-    g = g.at[:3].add(-inv_pr * r_prior)
 
     # ---- odometry factors (vectorized over T) ----
     pa = poses[:-1]
@@ -295,49 +315,197 @@ def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
         ],
         axis=1,
     )
-    inv_od = jnp.asarray([1.0 / odom_s[0], 1.0 / odom_s[1], 1.0 / odom_s[2]], jnp.float32)
-    ja = ja * inv_od[None, :, None]
-    jb = jb * inv_od[None, :, None]
+    inv_od = jnp.asarray(
+        [1.0 / odom_s[0], 1.0 / odom_s[1], 1.0 / odom_s[2]], jnp.float32
+    )
     mask_od = s.odom_valid.astype(jnp.float32)[:, None, None]
-    ja = ja * mask_od
-    jb = jb * mask_od
-    j66 = jnp.concatenate([ja, jb], axis=2)  # (T, 3, 6)
+    ja = ja * inv_od[None, :, None] * mask_od
+    jb = jb * inv_od[None, :, None] * mask_od
+
+    # ---- bearing-range factors: (T, K, 2, 5) tensor built only on demand
+    # (the dense assembler needs it; the matrix-free path uses the scalar
+    # coefficient form in _meas_coeffs to avoid the large intermediate) ----
+    def make_jm():
+        valid = s.meas_valid.astype(jnp.float32)
+        r2 = rng_safe * rng_safe
+        # rows: (bearing, range); cols: (px, py, pth, lx, ly)
+        jm = jnp.stack(
+            [
+                jnp.stack(
+                    [mdy / r2, -mdx / r2, -jnp.ones_like(rng_safe),
+                     -mdy / r2, mdx / r2],
+                    axis=-1,
+                )
+                / meas_s[0],
+                jnp.stack(
+                    [-mdx / rng_safe, -mdy / rng_safe,
+                     jnp.zeros_like(rng_safe),
+                     mdx / rng_safe, mdy / rng_safe],
+                    axis=-1,
+                )
+                / meas_s[1],
+            ],
+            axis=2,
+        )  # (T, K, 2, 5)
+        return jm * valid[..., None, None]
+
+    inv_pr = 1.0 / prior_s
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    pose_active = jnp.arange(t_cap + 1) <= s.timestep
+    lm_active = jnp.arange(n_cap) < s.M
+    return {
+        "inv_pr": inv_pr,
+        "r_prior": r_prior,
+        "ja": ja,
+        "jb": jb,
+        "r_odom": r_odom,
+        "make_jm": make_jm,
+        "r_meas": r_meas,
+        "p0": s.poses_init[0],
+        "pose_active": pose_active,
+        "lm_active": lm_active,
+    }
+
+
+def _meas_coeffs(cfg: Config, s: PoseGraphState, poses, lms, meas_scale):
+    """Bearing-range Jacobian rows as 5 scalar (T, K) coefficient arrays
+    (instead of a (T, K, 2, 5) tensor, which at batch 32 x T=1000 was a
+    256 MB intermediate that crashed the TPU worker).
+
+    rows (whitened): bearing = [ab, bb, cb, -ab, -bb],
+                     range   = [ar, br,  0, -ar, -br]
+    over variables (px, py, pth, lx, ly).
+    """
+    _, meas_s = _noise_sigmas(cfg, meas_scale)
+    _, _, r_meas, rng_safe, (mdx, mdy) = _residuals(
+        cfg, s, poses, lms, meas_scale
+    )
+    valid = s.meas_valid.astype(jnp.float32)
+    r2 = rng_safe * rng_safe
+    ab = mdy / r2 / meas_s[0] * valid
+    bb = -mdx / r2 / meas_s[0] * valid
+    cb = -1.0 / meas_s[0] * valid
+    ar = -mdx / rng_safe / meas_s[1] * valid
+    br = -mdy / rng_safe / meas_s[1] * valid
+    return (ab, bb, cb, ar, br), r_meas
+
+
+def _meas_back(s: PoseGraphState, coeffs, u_b, u_r, op, ol):
+    """Accumulate J_meas^T u into the pose/landmark blocks."""
+    ab, bb, cb, ar, br = coeffs
+    px = ab * u_b + ar * u_r  # (T, K)
+    py = bb * u_b + br * u_r
+    pth = cb * u_b
+    op = op.at[1:].add(
+        jnp.stack(
+            [jnp.sum(px, axis=1), jnp.sum(py, axis=1), jnp.sum(pth, axis=1)],
+            axis=-1,
+        )
+    )
+    ol = ol.at[s.meas_lm.reshape(-1)].add(
+        jnp.stack([-px.reshape(-1), -py.reshape(-1)], axis=-1)
+    )
+    return op, ol
+
+
+def _grad(cfg: Config, s: PoseGraphState, jac, coeffs, r_meas):
+    """g = -J^T r split into pose (T+1, 3) and landmark (N, 2) blocks."""
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    gp = jnp.zeros((t_cap + 1, 3), jnp.float32)
+    gl = jnp.zeros((n_cap, 2), jnp.float32)
+    gp = gp.at[0].add(-jac["inv_pr"] * jac["r_prior"])
+    gp = gp.at[:-1].add(-einsum32("tri,tr->ti", jac["ja"], jac["r_odom"]))
+    gp = gp.at[1:].add(-einsum32("tri,tr->ti", jac["jb"], jac["r_odom"]))
+    return _meas_back(s, coeffs, -r_meas[..., 0], -r_meas[..., 1], gp, gl)
+
+
+def _hv(s: PoseGraphState, jac, coeffs, vp, vl):
+    """Matrix-free H v = J^T (J v) with H the Gauss-Newton Hessian."""
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    op = jnp.zeros((t_cap + 1, 3), jnp.float32)
+    ol = jnp.zeros((n_cap, 2), jnp.float32)
+    # prior
+    op = op.at[0].add(jac["inv_pr"] ** 2 * vp[0])
+    # odometry: u = Ja v_t + Jb v_{t+1}
+    u = einsum32("tri,ti->tr", jac["ja"], vp[:-1]) + einsum32(
+        "tri,ti->tr", jac["jb"], vp[1:]
+    )
+    op = op.at[:-1].add(einsum32("tri,tr->ti", jac["ja"], u))
+    op = op.at[1:].add(einsum32("tri,tr->ti", jac["jb"], u))
+    # bearing-range: u = J_meas [v_pose(t+1); v_lm]
+    ab, bb, cb, ar, br = coeffs
+    vpx = vp[1:, 0][:, None]
+    vpy = vp[1:, 1][:, None]
+    vpth = vp[1:, 2][:, None]
+    vlg = vl[s.meas_lm]  # (T, K, 2)
+    ex = vpx - vlg[..., 0]
+    ey = vpy - vlg[..., 1]
+    u_b = ab * ex + bb * ey + cb * vpth
+    u_r = ar * ex + br * ey
+    return _meas_back(s, coeffs, u_b, u_r, op, ol)
+
+
+def _h_diag(s: PoseGraphState, jac, coeffs):
+    """diag(J^T J) split into pose/landmark blocks (Jacobi preconditioner)."""
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    dp = jnp.zeros((t_cap + 1, 3), jnp.float32)
+    dl = jnp.zeros((n_cap, 2), jnp.float32)
+    dp = dp.at[0].add(jac["inv_pr"] ** 2)
+    dp = dp.at[:-1].add(einsum32("tri,tri->ti", jac["ja"], jac["ja"]))
+    dp = dp.at[1:].add(einsum32("tri,tri->ti", jac["jb"], jac["jb"]))
+    ab, bb, cb, ar, br = coeffs
+    qx = ab * ab + ar * ar  # (T, K)
+    qy = bb * bb + br * br
+    qth = cb * cb
+    dp = dp.at[1:].add(
+        jnp.stack(
+            [jnp.sum(qx, axis=1), jnp.sum(qy, axis=1), jnp.sum(qth, axis=1)],
+            axis=-1,
+        )
+    )
+    dl = dl.at[s.meas_lm.reshape(-1)].add(
+        jnp.stack([qx.reshape(-1), qy.reshape(-1)], axis=-1)
+    )
+    return dp, dl
+
+
+def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
+    """Dense damped-GN system: returns (H, g) with H = J^T J, g = -J^T r."""
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+    dim = 3 * (t_cap + 1) + 2 * n_cap
+
+    jac = _jacobians(cfg, s, poses, lms, meas_scale)
+
+    h = jnp.zeros((dim, dim), jnp.float32)
+    g = jnp.zeros(dim, jnp.float32)
+
+    # ---- prior: J = diag(1/sigma) on pose-0 block ----
+    inv_pr = jac["inv_pr"]
+    h = h.at[jnp.arange(3), jnp.arange(3)].add(inv_pr ** 2)
+    g = g.at[:3].add(-inv_pr * jac["r_prior"])
+
+    # ---- odometry factors ----
+    j66 = jnp.concatenate([jac["ja"], jac["jb"]], axis=2)  # (T, 3, 6)
     h66 = einsum32("tri,trj->tij", j66, j66)  # (T, 6, 6)
-    g6 = -einsum32("tri,tr->ti", j66, r_odom)  # (T, 6)
+    g6 = -einsum32("tri,tr->ti", j66, jac["r_odom"])  # (T, 6)
     base = 3 * jnp.arange(t_cap)
     ix6 = base[:, None] + jnp.arange(6)[None, :]  # (T, 6) var indices
     h = h.at[ix6[:, :, None], ix6[:, None, :]].add(h66)
     g = g.at[ix6].add(g6)
 
-    # ---- bearing-range factors (vectorized over T*K) ----
+    # ---- bearing-range factors (flattened over T*K) ----
     t_idx = jnp.broadcast_to(
         jnp.arange(t_cap)[:, None], s.meas_valid.shape
     ).reshape(-1)
     lm_idx = s.meas_lm.reshape(-1)
-    valid = s.meas_valid.reshape(-1).astype(jnp.float32)
-    mdxf = mdx.reshape(-1)
-    mdyf = mdy.reshape(-1)
-    rngf = rng_safe.reshape(-1)
-    r2 = rngf * rngf
-    # rows: (bearing, range); cols: (px, py, pth, lx, ly)
-    jm = jnp.stack(
-        [
-            jnp.stack(
-                [mdyf / r2, -mdxf / r2, -jnp.ones_like(rngf), -mdyf / r2, mdxf / r2],
-                axis=-1,
-            )
-            / meas_s[0],
-            jnp.stack(
-                [-mdxf / rngf, -mdyf / rngf, jnp.zeros_like(rngf), mdxf / rngf, mdyf / rngf],
-                axis=-1,
-            )
-            / meas_s[1],
-        ],
-        axis=1,
-    )  # (F, 2, 5)
-    jm = jm * valid[:, None, None]
+    jm = jac["make_jm"]().reshape(-1, 2, 5)
     h55 = einsum32("fri,frj->fij", jm, jm)
-    g5 = -einsum32("fri,fr->fi", jm, r_meas.reshape(-1, 2))
+    g5 = -einsum32("fri,fr->fi", jm, jac["r_meas"].reshape(-1, 2))
     pose_base = 3 * (t_idx + 1)
     lm_base = 3 * (t_cap + 1) + 2 * lm_idx
     ix5 = jnp.concatenate(
@@ -351,10 +519,8 @@ def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     g = g.at[ix5].add(g5)
 
     # ---- inactive variables: pin with identity rows ----
-    pose_active = jnp.arange(t_cap + 1) <= s.timestep
-    lm_active = jnp.arange(n_cap) < s.M
     var_active = jnp.concatenate(
-        [jnp.repeat(pose_active, 3), jnp.repeat(lm_active, 2)]
+        [jnp.repeat(jac["pose_active"], 3), jnp.repeat(jac["lm_active"], 2)]
     )
     diag_fix = jnp.where(var_active, 0.0, 1.0)
     h = h + jnp.diag(diag_fix)
@@ -375,15 +541,26 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     lms0_ = s.lms_init if lms0 is None else lms0
     # direct solve (best when the initialization is already near the optimum,
     # e.g. long low-drift runs)
-    poses_d, lms_d, err_d = _solve_stage(cfg, s, poses0_, lms0_, 1.0)
+    poses, lms, err = _solve_stage(cfg, s, poses0_, lms0_, 1.0)
     # graduated solve (escapes bearing-wrap local minima from far inits)
     poses_g, lms_g = poses0_, lms0_
     for scale in (16.0, 4.0, 1.0):
         poses_g, lms_g, err_g = _solve_stage(cfg, s, poses_g, lms_g, scale)
-    take_g = err_g < err_d
-    poses = jnp.where(take_g, poses_g, poses_d)
-    lms = jnp.where(take_g, lms_g, lms_d)
-    err = jnp.minimum(err_g, err_d)
+    take_g = err_g < err
+    poses = jnp.where(take_g, poses_g, poses)
+    lms = jnp.where(take_g, lms_g, lms)
+    err = jnp.minimum(err_g, err)
+    if poses0 is not None:
+        # a warm start (iterative-mode feedback) can sit in a worse basin
+        # than the raw secondary seeding reaches through graduation — try the
+        # raw graduated path too and keep the better optimum
+        poses_r, lms_r = s.poses_init, s.lms_init
+        for scale in (16.0, 4.0, 1.0):
+            poses_r, lms_r, err_r = _solve_stage(cfg, s, poses_r, lms_r, scale)
+        take_r = err_r < err
+        poses = jnp.where(take_r, poses_r, poses)
+        lms = jnp.where(take_r, lms_r, lms)
+        err = jnp.minimum(err_r, err)
     return poses, lms, err
 
 
@@ -440,5 +617,113 @@ def _solve_stage(cfg: Config, s: PoseGraphState, poses, lms, meas_scale):
 
 
 def finalize(cfg: Config, s: PoseGraphState) -> PoseGraphState:
-    poses, lms, _ = solve(cfg, s)
+    if cfg.pose_graph.solve_graph_every_iteration:
+        # initial_estimate = result feedback (pose_graph.cpp:262-267): the
+        # final solve warm-starts from the per-tick solution history.
+        poses, lms, _ = solve(cfg, s, poses0=s.poses_sol, lms0=s.lms_sol)
+    else:
+        poses, lms, _ = solve(cfg, s)
+    return s.replace(poses_sol=poses, lms_sol=lms, solved=jnp.asarray(True))
+
+
+# ----------------------------------------------------------------------
+# Iterative mode: matrix-free PCG Gauss-Newton, re-solved every tick
+# ----------------------------------------------------------------------
+
+def solve_pcg_gn(
+    cfg: Config, s: PoseGraphState, poses, lms,
+    n_gn: int = 1, n_cg: int = 12, meas_scale: float = 1.0,
+    damping: float = 1e-4,
+):
+    """Matrix-free damped Gauss-Newton with Jacobi-preconditioned CG.
+
+    The dense solve is O((3T+2N)^3) per call; this is O(n_cg * F) with
+    F = T + T*K factor slots, which makes the reference's default
+    `solve_graph_every_iteration` mode (pose_graph.cpp:262-267) affordable
+    on device inside the per-tick scan. With a warm start (the previous
+    tick's solution) one GN step with ~a dozen CG iterations tracks the
+    optimum; the final solve (`finalize`) polishes with the full LM.
+
+    Iteration counts are static (no early exit) so the function vmaps with
+    uniform cost; inactive variables are pinned via masks.
+    """
+    t_cap = s.odom.shape[0]
+    n_cap = s.lms_init.shape[0]
+
+    def dot(ap, al, bp, bl_):
+        return jnp.sum(ap * bp) + jnp.sum(al * bl_)
+
+    for _ in range(n_gn):
+        jac = _jacobians(cfg, s, poses, lms, meas_scale)
+        coeffs, r_meas = _meas_coeffs(cfg, s, poses, lms, meas_scale)
+        mp = jac["pose_active"][:, None].astype(jnp.float32)
+        ml = jac["lm_active"][:, None].astype(jnp.float32)
+        gp, gl = _grad(cfg, s, jac, coeffs, r_meas)
+        gp, gl = gp * mp, gl * ml
+        dp, dl = _h_diag(s, jac, coeffs)
+        # damped Jacobi preconditioner; inactive vars get unit diag
+        dp = jnp.where(mp > 0, dp * (1.0 + damping) + 1e-12, 1.0)
+        dl = jnp.where(ml > 0, dl * (1.0 + damping) + 1e-12, 1.0)
+
+        def hv(vp, vl):
+            op, ol = _hv(s, jac, coeffs, vp * mp, vl * ml)
+            # Levenberg damping keeps the warm-started step conservative
+            op = (op + damping * dp * vp) * mp
+            ol = (ol + damping * dl * vl) * ml
+            return op, ol
+
+        # PCG on H delta = g, delta0 = 0
+        xp = jnp.zeros_like(gp)
+        xl = jnp.zeros_like(gl)
+        rp, rl = gp, gl
+        zp, zl = rp / dp, rl / dl
+        pp, pl = zp, zl
+        rz = dot(rp, rl, zp, zl)
+
+        def cg_body(i, carry):
+            xp, xl, rp, rl, pp, pl, rz = carry
+            hp_, hl_ = hv(pp, pl)
+            denom = dot(pp, pl, hp_, hl_)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+            alpha = jnp.where(denom > 0, alpha, 0.0)  # H PSD guard
+            xp = xp + alpha * pp
+            xl = xl + alpha * pl
+            rp = rp - alpha * hp_
+            rl = rl - alpha * hl_
+            zp, zl = rp / dp, rl / dl
+            rz_new = dot(rp, rl, zp, zl)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1.0)
+            pp = zp + beta * pp
+            pl = zl + beta * pl
+            return xp, xl, rp, rl, pp, pl, rz_new
+
+        xp, xl, *_ = jax.lax.fori_loop(
+            0, n_cg, cg_body, (xp, xl, rp, rl, pp, pl, rz)
+        )
+        # accept only improving steps (warm starts are usually near-optimal,
+        # so a rejected step just keeps the previous solution)
+        err_old = graph_error(cfg, s, poses, lms, meas_scale)
+        poses_new = poses + xp
+        poses_new = poses_new.at[:, 2].set(wrap_angle(poses_new[:, 2]))
+        lms_new = lms + xl
+        err_new = graph_error(cfg, s, poses_new, lms_new, meas_scale)
+        ok = (err_new < err_old) & jnp.isfinite(err_new)
+        poses = jnp.where(ok, poses_new, poses)
+        lms = jnp.where(ok, lms_new, lms)
+    return poses, lms
+
+
+def solve_iteration(cfg: Config, s: PoseGraphState, m_prev) -> PoseGraphState:
+    """One per-tick incremental solve (solve_graph_every_iteration=true,
+    pose_graph.cpp:262-267): warm-start from the previous solution with the
+    newly-added pose node (and any new landmarks) taken from the secondary
+    seeds, run PCG-GN, and store the result back as the next initial
+    estimate."""
+    pg = cfg.pose_graph
+    poses0 = s.poses_sol.at[s.timestep].set(s.poses_init[s.timestep])
+    slot = jnp.arange(s.lms_init.shape[0])[:, None]
+    lms0 = jnp.where(slot < m_prev, s.lms_sol, s.lms_init)
+    poses, lms = solve_pcg_gn(
+        cfg, s, poses0, lms0, n_gn=pg.gn_steps_per_tick, n_cg=pg.pcg_iters
+    )
     return s.replace(poses_sol=poses, lms_sol=lms, solved=jnp.asarray(True))
