@@ -123,17 +123,38 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
             frame = _frame_from_state(
                 cfg, state_name, state, t + 1, np.asarray(tp), np.asarray(ep)
             )
-            if name == "pose_graph" and t + 1 >= cfg.num_iterations:
-                from live_ekf_slam_tpu.models import posegraph
+            if name == "pose_graph":
+                pg = carry.primary
+                ts = int(pg.timestep)
+                m = int(pg.M)
+                # live panel every tick: the growing "initial" graph (the
+                # reference publishes PoseGraphState each tick), the
+                # per-tick solution when iterative mode keeps one, and the
+                # measurement-connection pairs for the overlay flags
+                frame.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
+                if m:
+                    frame.pg_landmarks = np.asarray(pg.lms_init)[:m]
+                if cfg.pose_graph.solve_graph_every_iteration and bool(pg.solved):
+                    frame.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
+                    frame.pg_landmarks = np.asarray(pg.lms_sol)[:m] if m else None
+                if t + 1 >= cfg.num_iterations:
+                    from live_ekf_slam_tpu.models import posegraph
 
-                poses, lms_sol, _ = jax.jit(
-                    lambda s: posegraph.solve(cfg, s)
-                )(carry.primary)
-                ts = int(carry.primary.timestep)
-                m = int(carry.primary.M)
-                frame.pg_initial = np.asarray(carry.primary.poses_init)[: ts + 1]
-                frame.pg_result = np.asarray(poses)[: ts + 1]
-                frame.pg_landmarks = np.asarray(lms_sol)[:m]
+                    solved = jax.jit(lambda s: posegraph.finalize(cfg, s))(
+                        carry.primary
+                    )
+                    frame.pg_result = np.asarray(solved.poses_sol)[: ts + 1]
+                    frame.pg_landmarks = np.asarray(solved.lms_sol)[:m]
+                if (
+                    cfg.plotter.pg_show_meas_connections
+                    and ts > 0 and m
+                ):
+                    mv = np.asarray(pg.meas_valid)[:ts]
+                    ml = np.asarray(pg.meas_lm)[:ts]
+                    rows, cols = np.nonzero(mv)
+                    frame.pg_meas = np.stack(
+                        [rows + 1, ml[rows, cols]], axis=1
+                    )
             viewer.update(frame)
     avg = viewer.finish(base_dir)
     print(f"Average error in {cfg.filter} from true vehicle pose history = {avg}")

@@ -36,6 +36,19 @@ class RunCarry:
     secondary: Any          # None unless primary is pose_graph
     err_sum_primary: jnp.ndarray
     err_sum_secondary: jnp.ndarray
+    # per-world divergence masks (SURVEY §5; the role of ukf.cpp:207-211's
+    # try/catch): once a filter's pose estimate goes non-finite or absurdly
+    # far, the world is flagged and its error stops accumulating so one
+    # diverged world cannot poison batch statistics.
+    alive_primary: jnp.ndarray = struct.field(default=None)
+    alive_secondary: jnp.ndarray = struct.field(default=None)
+    ticks_primary: jnp.ndarray = struct.field(default=None)
+    ticks_secondary: jnp.ndarray = struct.field(default=None)
+
+
+# a pose estimate farther than this from truth marks the world diverged
+# (the map spans ~2*bound = 20 m; 50 m means the filter is unrecoverable)
+DIVERGENCE_RADIUS = 50.0
 
 
 def _filter_init(cfg: Config, name: str, init_pose=None):
@@ -146,7 +159,6 @@ def make_step(cfg: Config, collect: str = "sums"):
                 # initial estimate (incremental PCG-GN, models/posegraph.py)
                 prim_state = posegraph.solve_iteration(cfg, prim_state, m_prev)
             est_pose = sec_pose  # published state is the secondary's
-            err_sec = err_sec + jnp.linalg.norm(sec_pose[:2] - truth_xy)
         else:
             prim_state = _filter_update(
                 cfg, primary, carry.primary, cmd, meas,
@@ -154,15 +166,32 @@ def make_step(cfg: Config, collect: str = "sums"):
             )
             est_pose = _filter_pose(primary, prim_state)
 
-        err_prim = carry.err_sum_primary + jnp.linalg.norm(
-            est_pose[:2] - truth_xy
+        def guard(alive, ticks, err_sum, pose):
+            e = jnp.linalg.norm(pose[:2] - truth_xy)
+            ok = alive & jnp.isfinite(e) & (e < DIVERGENCE_RADIUS)
+            err_new = jnp.where(ok, err_sum + e, err_sum)
+            return ok, jnp.where(ok, ticks + 1, ticks), err_new
+
+        alive_p, ticks_p, err_prim = guard(
+            carry.alive_primary, carry.ticks_primary,
+            carry.err_sum_primary, est_pose,
         )
+        if primary == "pose_graph":
+            # est_pose IS the secondary's pose here (published state); the
+            # secondary mask mirrors it
+            alive_s, ticks_s, err_sec = alive_p, ticks_p, err_prim
+        else:
+            alive_s, ticks_s = carry.alive_secondary, carry.ticks_secondary
         new_carry = RunCarry(
             world=world,
             primary=prim_state,
             secondary=sec_state,
             err_sum_primary=err_prim,
             err_sum_secondary=err_sec,
+            alive_primary=alive_p,
+            alive_secondary=alive_s,
+            ticks_primary=ticks_p,
+            ticks_secondary=ticks_s,
         )
         if collect == "poses":
             out = (world.pose, est_pose)
@@ -185,6 +214,10 @@ def init_carry(cfg: Config, landmarks, n_active=None, init_pose=None) -> RunCarr
         secondary=secondary,
         err_sum_primary=jnp.float32(0.0),
         err_sum_secondary=jnp.float32(0.0),
+        alive_primary=jnp.asarray(True),
+        alive_secondary=jnp.asarray(True),
+        ticks_primary=jnp.int32(0),
+        ticks_secondary=jnp.int32(0),
     )
 
 
@@ -211,14 +244,18 @@ def _single_world_run(cfg: Config, collect: str, landmarks, key):
     return final, outs
 
 
-def _batched_rollout_chunked(cfg: Config, collect, lms, keys, n_seg: int):
-    """scan(vmap(step)) split into n_seg time segments, one device call each.
+def _batched_rollout_chunked(cfg: Config, collect, lms, keys):
+    """scan(vmap(step)) split into time segments, one device call each.
 
-    The per-tick PCG of iterative pose-graph mode makes a T=1000 rollout's
-    single execution exceed the TPU tunnel's ~60 s per-call watchdog at
-    useful batch sizes; segmenting the scan keeps each call short while the
-    carry stays on device. Key handling mirrors _single_world_run exactly.
+    The TPU tunnel kills any single device call after ~60 s; heavy per-tick
+    work (e.g. iterative pose-graph PCG) at useful batch sizes exceeds that
+    in one full-T call. Segment length adapts at runtime: a first 125-tick
+    probe call is timed, and if it ran long the remaining ticks run in
+    25-tick segments (one extra compile). The carry stays on device. Key
+    handling mirrors _single_world_run exactly.
     """
+    import time as _time
+
     t_total = cfg.num_iterations
 
     @jax.jit
@@ -246,12 +283,27 @@ def _batched_rollout_chunked(cfg: Config, collect, lms, keys, n_seg: int):
             (jnp.swapaxes(cmds_seg, 0, 1), jnp.swapaxes(keys_seg, 0, 1)),
         )
 
-    seg_len = -(-t_total // n_seg)
     outs_parts = []
-    for i in range(0, t_total, seg_len):
+    batch = lms.shape[0]
+    if cfg.filter == "pose_graph" and cfg.pose_graph.solve_graph_every_iteration:
+        # the per-tick PCG measured at ~0.005 s/(tick*world)
+        seg_len = 25 if batch > 64 else 50
+    else:
+        seg_len = 125
+    seg_len = min(seg_len, t_total)
+    i = 0
+    while i < t_total:
         j = min(i + seg_len, t_total)
+        t0 = _time.perf_counter()
         carry, outs = seg(carry, cmds[:, i:j], tick_keys[:, i:j])
+        jax.block_until_ready(carry.err_sum_primary)
+        elapsed = _time.perf_counter() - t0
         outs_parts.append(outs)
+        i = j
+        # adapt: stay well under the ~60 s per-call watchdog (the first call
+        # includes compile time, so only shrink on a clearly-slow execution)
+        if elapsed > 35.0 and seg_len > 25 and i > 125:
+            seg_len = 25
     if outs_parts[0] is None:
         return carry, None
     outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts)
@@ -282,7 +334,10 @@ def run_monte_carlo(
     """
     rng = np.random.default_rng(seed)
     if cfg.landmark_map in ("random", "rand"):
-        lms = sim_maps.random_landmarks_batched(cfg, rng, batch)
+        # occupancy-aware rejection (sim_node.py:177-188): random landmarks
+        # never land on obstacles of the configured occupancy map
+        occ, _ = sim_maps.load_occ_map(cfg)
+        lms = sim_maps.random_landmarks_batched(cfg, rng, batch, occ=occ)
     else:
         single, n_active = sim_maps.make_landmarks(cfg, rng)
         # fixed maps (demo/grid/igvc1) set their own landmark count
@@ -296,47 +351,64 @@ def run_monte_carlo(
     keys = jax.random.split(key, batch)
 
     if impl == "fused":
-        from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
         from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 
-        if cfg.filter != "ekf_slam" or collect != "sums":
+        block_worlds = min(block_worlds, batch)
+        if cfg.filter not in ("ekf_slam", "ukf_slam", "ukf_loc") or collect != "sums":
             raise ValueError(
-                "impl='fused' supports filter='ekf_slam', collect='sums'"
+                "impl='fused' supports filter in (ekf_slam, ukf_slam, "
+                "ukf_loc), collect='sums'"
             )
         cmds = jax.jit(
             jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
         )(lms, keys)
-        out = fused_ekf_rollout(
-            cfg, lms, cmds, seed, block_worlds=block_worlds
-        )
+        if cfg.filter == "ekf_slam":
+            from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
+
+            out = fused_ekf_rollout(
+                cfg, lms, cmds, seed, block_worlds=block_worlds
+            )
+            diverged = ~np.isfinite(np.asarray(out["err_sum"]))
+        else:
+            from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout
+
+            out = fused_ukf_rollout(
+                cfg, lms, cmds, seed, slam=(cfg.filter == "ukf_slam"),
+                block_worlds=block_worlds,
+            )
+            # worlds where the divergence guard fired (ops/fused_ukf.py)
+            diverged = np.asarray(out["update_rejects"]) > 0
+        err = np.asarray(out["err_sum"]) / cfg.num_iterations
         results = {
-            "err_ekf_slam": np.asarray(out["err_sum"]) / cfg.num_iterations
+            "err_" + cfg.filter: err,
+            "diverged_" + cfg.filter: diverged | ~np.isfinite(err),
         }
         return results, out, None
 
-    iterative_pgs = (
-        cfg.filter == "pose_graph"
-        and cfg.pose_graph.solve_graph_every_iteration
-    )
-    if iterative_pgs and jit:
-        # per-tick PCG makes one full-T call exceed the device watchdog;
-        # segment the scan (~125 ticks/call keeps calls well under it)
-        n_seg = max(1, cfg.num_iterations // 125)
-        final, outs = _batched_rollout_chunked(cfg, collect, lms, keys, n_seg)
+    if jit:
+        # every jitted MC run goes through the time-segmented scan so no
+        # single device call can hit the tunnel's ~60 s watchdog
+        final, outs = _batched_rollout_chunked(cfg, collect, lms, keys)
     else:
         fn = functools.partial(_single_world_run, cfg, collect)
-        batched = jax.vmap(fn)
-        if jit:
-            batched = jax.jit(batched)
-        final, outs = batched(lms, keys)
+        final, outs = jax.vmap(fn)(lms, keys)
 
     t_total = cfg.num_iterations
+    # per-world average error over the ticks the filter was alive; diverged
+    # worlds (non-finite estimate or >DIVERGENCE_RADIUS from truth) stop
+    # accumulating and are surfaced as masks so they can't poison means
+    ticks_p = np.maximum(np.asarray(final.ticks_primary), 1)
     results = {
-        "err_" + cfg.filter: np.asarray(final.err_sum_primary) / t_total,
+        "err_" + cfg.filter: np.asarray(final.err_sum_primary) / ticks_p,
+        "diverged_" + cfg.filter: ~np.asarray(final.alive_primary),
     }
     if cfg.filter == "pose_graph":
+        ticks_s = np.maximum(np.asarray(final.ticks_secondary), 1)
         results["err_" + cfg.pose_graph.filter_to_compare] = (
-            np.asarray(final.err_sum_secondary) / t_total
+            np.asarray(final.err_sum_secondary) / ticks_s
+        )
+        results["diverged_" + cfg.pose_graph.filter_to_compare] = ~np.asarray(
+            final.alive_secondary
         )
         # Solve the accumulated graphs (chunked: the dense normal equations are
         # O((3T+2N)^2) per world).

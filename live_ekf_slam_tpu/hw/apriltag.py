@@ -59,6 +59,91 @@ def detections_to_measurements(
     return out
 
 
+def se3(translation, quaternion=(1.0, 0.0, 0.0, 0.0)) -> np.ndarray:
+    """(t, q) -> 4x4 affine (the reference's pose-from-tf construction,
+    tag_detection_node.py:67-91)."""
+    T = np.eye(4)
+    T[:3, :3] = quat_to_mat(*quaternion)
+    T[:3, 3] = translation
+    return T
+
+
+class FrameTransforms:
+    """Static frame registry replacing the reference's tf lookup
+    (tag_detection_node.py:67-91, get_transform(TF_TO, TF_FROM)).
+
+    Without ROS there is no live transform service; fixed mounting
+    transforms (e.g. camera -> base_link) are registered once and looked up
+    by frame pair, with the inverse direction derived automatically.
+    Returns None for unknown pairs, like the reference's failed lookup.
+    """
+
+    def __init__(self):
+        self._t: dict[tuple[str, str], np.ndarray] = {}
+
+    def register(self, tf_to: str, tf_from: str, transform: np.ndarray):
+        self._t[(tf_to, tf_from)] = np.asarray(transform, float)
+
+    def get_transform(self, tf_to: str, tf_from: str):
+        if tf_to == tf_from:
+            return np.eye(4)
+        if (tf_to, tf_from) in self._t:
+            return self._t[(tf_to, tf_from)]
+        if (tf_from, tf_to) in self._t:
+            return np.linalg.inv(self._t[(tf_from, tf_to)])
+        return None
+
+
+def transform_detections(detections, T):
+    """Re-express detections' translations in another frame (the intended
+    use of the reference's TF helper: camera-frame tag poses -> robot base
+    frame before the range/bearing conversion)."""
+    out = []
+    for det in detections:
+        p = T @ np.array([*det.translation, 1.0])
+        out.append(
+            TagDetection(
+                tag_id=det.tag_id,
+                translation=tuple(p[:3]),
+                quaternion=det.quaternion,
+            )
+        )
+    return out
+
+
+def replay_detection_log(cfg, log, cmds, filter_name="ekf_slam", T_base_cam=None):
+    """Feed a recorded per-tick AprilTag detection log through a filter.
+
+    log: list over ticks of lists of TagDetection (camera frame);
+    cmds: (T, 2) commanded odometry aligned with the log. This closes the
+    hardware loop the reference only sketches (tag_detection_node publishes
+    /landmark/apriltag but nothing subscribes): recorded detections drive
+    the same filters the simulator does. Returns the filter state history's
+    final state and per-tick poses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from live_ekf_slam_tpu.eval.runner import (
+        _filter_init, _filter_pose, _filter_update,
+    )
+
+    k = cfg.num_meas_slots
+    state = _filter_init(cfg, filter_name)
+    step = jax.jit(
+        lambda s, cmd, m: _filter_update(cfg, filter_name, s, cmd, m)
+    )
+    poses = []
+    for t, dets in enumerate(log):
+        if T_base_cam is not None:
+            dets = transform_detections(dets, T_base_cam)
+        flat = detections_to_measurements(dets)
+        meas = flat_to_measurement_slots(flat, k)
+        state = step(state, jnp.asarray(cmds[t], jnp.float32), meas)
+        poses.append(np.asarray(_filter_pose(filter_name, state)))
+    return state, np.stack(poses) if poses else np.zeros((0, 3))
+
+
 def flat_to_measurement_slots(flat, k_slots: int):
     """Flat [id, r, b]* -> fixed-capacity Measurements PyTree (the filters'
     input format)."""

@@ -51,6 +51,9 @@ class Frame:
     pg_initial: np.ndarray | None = None  # (Tp, 3) pose history
     pg_result: np.ndarray | None = None
     pg_landmarks: np.ndarray | None = None
+    # (C, 2) int (pose_index, landmark_index) bearing-range factor pairs
+    # (PoseGraphState.msg meas_connections, plotting_node.py:444-455)
+    pg_meas: np.ndarray | None = None
     path: np.ndarray | None = None        # (L, 2) planned path
 
 
@@ -266,6 +269,41 @@ class LiveViewer:
                 s=30, color="darkred", edgecolors="black", zorder=2,
                 label="Pose-Graph SLAM Result (Landmarks)",
             )
+
+        # adjacent-pose (command) connections (plotting_node.py:443-446)
+        hist = frame.pg_result if frame.pg_result is not None else frame.pg_initial
+        if (
+            self.cfg.plotter.pg_show_cmd_connections
+            and hist is not None and len(hist) > 1
+        ):
+            self._remove("pg_cmd_conn")
+            (self._artists["pg_cmd_conn"],) = ax.plot(
+                hist[:, 0], hist[:, 1], color="blue", zorder=0,
+                label="Pose-Graph Command Connection",
+            )
+
+        # measurement connections pose<->landmark (plotting_node.py:448-455);
+        # one LineCollection instead of the reference's per-connection plot
+        if (
+            self.cfg.plotter.pg_show_meas_connections
+            and frame.pg_meas is not None and len(frame.pg_meas)
+            and hist is not None and frame.pg_landmarks is not None
+            and len(frame.pg_landmarks)
+        ):
+            from matplotlib.collections import LineCollection
+
+            iv = np.clip(frame.pg_meas[:, 0], 0, len(hist) - 1)
+            il = np.clip(frame.pg_meas[:, 1], 0, len(frame.pg_landmarks) - 1)
+            segs = np.stack(
+                [hist[iv, :2], frame.pg_landmarks[il, :2]], axis=1
+            )  # (C, 2, 2)
+            self._remove("pg_meas_conn")
+            lc = LineCollection(
+                segs, colors="lightcoral", zorder=0, linewidths=0.8,
+                label="Pose-Graph Measurement Connection",
+            )
+            ax.add_collection(lc)
+            self._artists["pg_meas_conn"] = lc
 
     # ------------------------------------------------------------------
     def average_error(self):

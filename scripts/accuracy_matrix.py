@@ -1,0 +1,193 @@
+"""Full 8-config accuracy matrix at scale (BASELINE.md's table shape).
+
+Runs the reference's benchmark matrix — {naive, EKF} secondary x {low, high}
+noise x {iterative, one-time} pose-graph solve — plus the standalone filter
+table, each over many Monte-Carlo worlds (vs the reference's ~10 repeated
+runs per config, base_pkg/data/*.csv). Writes docs/accuracy_matrix.json and
+prints a markdown table.
+
+Usage:
+  python scripts/accuracy_matrix.py --worlds 1024 --worlds-iter 256 \
+      [--t 1000] [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+LOW_NOISE = dict(V_00=0.0004, V_11=7.615435494667714e-05,
+                 W_00=0.01, W_11=0.00030461741978670857)
+HIGH_NOISE = dict(V_00=0.01, V_11=0.001, W_00=0.01, W_11=0.01)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_cfg(base, noise, filter_name, secondary=None, iterative=None):
+    from live_ekf_slam_tpu.config import Config  # noqa: F401
+
+    cfg = base.replace(filter=filter_name)
+    prof = LOW_NOISE if noise == "low" else HIGH_NOISE
+    cfg = cfg.replace(
+        process_noise=dataclasses.replace(
+            cfg.process_noise, V_00=prof["V_00"], V_11=prof["V_11"]
+        ),
+        sensing_noise=dataclasses.replace(
+            cfg.sensing_noise, W_00=prof["W_00"], W_11=prof["W_11"]
+        ),
+    )
+    if filter_name == "pose_graph":
+        cfg = cfg.replace(
+            pose_graph=dataclasses.replace(
+                cfg.pose_graph,
+                filter_to_compare=secondary,
+                solve_graph_every_iteration=iterative,
+            )
+        )
+    return cfg
+
+
+def robust_stats(err, diverged):
+    ok = ~diverged & np.isfinite(err)
+    vals = err[ok]
+    n = len(vals)
+    mean = float(vals.mean()) if n else float("nan")
+    ci = float(1.96 * vals.std() / max(np.sqrt(n), 1)) if n else float("nan")
+    return {
+        "mean": round(mean, 4),
+        "ci95": round(ci, 4),
+        "median": round(float(np.median(vals)), 4) if n else None,
+        "n": int(n),
+        "diverged": int(diverged.sum()),
+    }
+
+
+def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
+               impl="xla"):
+    import jax
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo
+
+    accum = {}
+    for i in range(0, worlds, batch_chunk):
+        b = min(batch_chunk, worlds - i)
+        res, _, _ = run_monte_carlo(
+            cfg, jax.random.PRNGKey(key_seed + i), b,
+            seed=key_seed + i, collect=collect, impl=impl,
+        )
+        for k, v in res.items():
+            accum.setdefault(k, []).append(np.asarray(v))
+        log(f"    {i + b}/{worlds} worlds")
+    return {k: np.concatenate(v) for k, v in accum.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=1024)
+    ap.add_argument("--worlds-iter", type=int, default=256)
+    ap.add_argument("--t", type=int, default=1000)
+    ap.add_argument("--batch-chunk", type=int, default=128)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sizes to validate the harness")
+    ap.add_argument("--out", default="docs/accuracy_matrix.json")
+    args = ap.parse_args()
+    if args.smoke:
+        args.worlds, args.worlds_iter, args.t = 8, 8, 60
+        args.batch_chunk = 8
+
+    from live_ekf_slam_tpu.config import Config
+
+    base = Config(num_iterations=args.t)
+    out = {"t": args.t, "worlds": args.worlds,
+           "worlds_iter": args.worlds_iter, "configs": {}}
+
+    # ---- the 8 PGS configs (BASELINE.md table shape) ----
+    for secondary in ("naive", "ekf_slam"):
+        for noise in ("low", "high"):
+            for mode in ("one_time", "iter"):
+                name = f"{secondary}_{noise}_{mode}"
+                iterative = mode == "iter"
+                worlds = args.worlds_iter if iterative else args.worlds
+                cfg = make_cfg(base, noise, "pose_graph",
+                               secondary=secondary, iterative=iterative)
+                t0 = time.perf_counter()
+                log(f"[{name}] {worlds} worlds ...")
+                res = run_config(cfg, worlds, args.batch_chunk,
+                                 key_seed=hash(name) % 100000,
+                                 collect="poses")
+                cfgstats = {
+                    "secondary": robust_stats(
+                        res["err_" + secondary], res["diverged_" + secondary]
+                    ),
+                    "pgs_result": robust_stats(
+                        res["err_pose_graph_result"],
+                        res["diverged_" + secondary],
+                    ),
+                    "wall_s": round(time.perf_counter() - t0, 1),
+                }
+                out["configs"][name] = cfgstats
+                log(f"[{name}] {cfgstats}")
+
+    # ---- standalone filter table (default=high noise); the fused Pallas
+    # rollouts carry ekf/ukf (parity-tested vs the XLA paths), naive rides
+    # the XLA scan ----
+    for filt, noise in (("naive", "high"), ("ekf_slam", "high"),
+                        ("ukf_slam", "high"), ("ukf_loc", "high"),
+                        ("ekf_slam", "low"), ("naive", "low")):
+        name = f"solo_{filt}_{noise}"
+        cfg = make_cfg(base, noise, filt)
+        if filt.startswith("ukf"):
+            cfg = cfg.replace(
+                ukf=dataclasses.replace(cfg.ukf, sigma_sqrt="chol")
+            )
+        impl = "xla" if filt == "naive" else "fused"
+        t0 = time.perf_counter()
+        log(f"[{name}] {args.worlds} worlds ...")
+        res = run_config(cfg, args.worlds, args.batch_chunk,
+                         key_seed=hash(name) % 100000, impl=impl)
+        out["configs"][name] = {
+            filt: robust_stats(res["err_" + filt], res["diverged_" + filt]),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        log(f"[{name}] {out['configs'][name]}")
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {args.out}")
+
+    # ---- markdown table ----
+    print("| Config | secondary err (m) | PGS-result err (m) | diverged |")
+    print("|---|---|---|---|")
+    for name, st in out["configs"].items():
+        if name.startswith("solo_"):
+            continue
+        sec = st["secondary"]
+        pgs = st["pgs_result"]
+        print(
+            f"| {name} | {sec['mean']} ± {sec['ci95']} | "
+            f"{pgs['mean']} ± {pgs['ci95']} | {sec['diverged']} |"
+        )
+    print()
+    print("| Filter | err (m) | diverged |")
+    print("|---|---|---|")
+    for name, st in out["configs"].items():
+        if not name.startswith("solo_"):
+            continue
+        k = [kk for kk in st if kk != "wall_s"][0]
+        print(f"| {name} | {st[k]['mean']} ± {st[k]['ci95']} | {st[k]['diverged']} |")
+
+
+if __name__ == "__main__":
+    main()

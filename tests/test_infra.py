@@ -183,3 +183,97 @@ def test_nees_consistency_metric():
     cov = jnp.asarray([[0.5, 0.0], [0.0, 2.0]])
     # e^T P^-1 e = 1/0.5 = 2
     assert abs(float(nees(e, t_, cov)) - 2.0) < 1e-6
+
+
+def test_divergence_masks():
+    """SURVEY §5 / ukf.cpp:207-211 role: a deliberately-diverged world must
+    not move the batch mean, and the count is surfaced."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from live_ekf_slam_tpu.config import Config
+    from live_ekf_slam_tpu.eval import runner as R
+
+    cfg = Config(num_iterations=30).replace(
+        filter="naive", num_landmark_slots=4, num_meas_slots=4
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=4))
+
+    # healthy batch
+    res, final, _ = R.run_monte_carlo(cfg, jax.random.PRNGKey(0), 4)
+    assert res["diverged_naive"].sum() == 0
+
+    # poison world 0 by teleporting its filter state beyond the radius
+    carry = jax.vmap(lambda l: R.init_carry(cfg, l))(
+        jnp.zeros((4, 4, 2), jnp.float32)
+    )
+    pose = carry.primary.pose.at[0, 0].set(1e6)
+    carry = carry.replace(primary=carry.primary.replace(pose=pose))
+    step = R.make_step(cfg)
+    cmds = jnp.zeros((4, 2), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    carry2, _ = jax.jit(lambda c, i: jax.vmap(step)(c, i))(carry, (cmds, keys))
+    alive = np.asarray(carry2.alive_primary)
+    assert not alive[0] and alive[1:].all()
+    # the poisoned world accumulated nothing
+    assert float(carry2.err_sum_primary[0]) == 0.0
+    assert int(carry2.ticks_primary[0]) == 0
+
+
+def test_apriltag_recorded_replay():
+    """Recorded-detections demo (tag_detection_node.py:28-91): a synthetic
+    camera-frame detection log drives the EKF through the AprilTag bridge —
+    TF'd from the camera mount frame — and the filter tracks the truth."""
+    import math
+
+    import numpy as np
+    from live_ekf_slam_tpu.config import Config
+    from live_ekf_slam_tpu.hw.apriltag import (
+        FrameTransforms,
+        TagDetection,
+        replay_detection_log,
+        se3,
+    )
+
+    cfg = Config(num_iterations=40).replace(
+        num_landmark_slots=3, num_meas_slots=3
+    )
+    lms = np.array([[2.0, 0.5], [3.0, -0.8], [4.0, 1.2]])
+
+    # camera mounted at the robot origin, axes aligned (identity mount);
+    # registry exercises the TF lookup path
+    tf = FrameTransforms()
+    tf.register("base_link", "camera", se3((0.0, 0.0, 0.0)))
+    T = tf.get_transform("base_link", "camera")
+    assert T is not None and np.allclose(T, np.eye(4))
+    assert tf.get_transform("camera", "base_link") is not None
+    assert tf.get_transform("camera", "laser") is None
+
+    # noiseless straight drive: build the log from exact geometry
+    pose = np.zeros(3)
+    cmds, log = [], []
+    for t in range(40):
+        pose[0] += 0.1
+        cmds.append((0.1, 0.0))
+        dets = []
+        for j, lm in enumerate(lms):
+            dx, dy = lm - pose[:2]
+            r = math.hypot(dx, dy)
+            if r <= cfg.constraints.vision.range_max:
+                b = math.atan2(dy, dx) - pose[2]
+                # camera-frame translation whose (x, y) give (r, b)
+                dets.append(
+                    TagDetection(
+                        tag_id=j,
+                        translation=(r * math.cos(b), r * math.sin(b), 0.5),
+                    )
+                )
+        log.append(dets)
+
+    state, poses = replay_detection_log(
+        cfg, log, np.asarray(cmds, np.float32), "ekf_slam", T_base_cam=T
+    )
+    assert int(state.M) >= 2  # saw and inserted landmarks
+    # noiseless measurements + exact odometry -> tight tracking
+    err = np.linalg.norm(poses[-1][:2] - pose[:2])
+    assert err < 0.05, err

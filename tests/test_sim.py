@@ -84,3 +84,34 @@ def test_meas_slot_compaction_preserves_order():
     assert bool(meas.overflow)
     assert list(np.asarray(meas.ids)) == [0, 1, 2]
     assert np.asarray(meas.valid).all()
+
+
+def test_monte_carlo_landmarks_respect_occupancy():
+    """run_monte_carlo passes the occupancy map into the random landmark
+    sampler (sim_node.py:177-188); random maps on igvc1 may not place
+    landmarks inside obstacles."""
+    import numpy as np
+    import jax
+    from live_ekf_slam_tpu.config import Config
+    from live_ekf_slam_tpu.sim import maps as sim_maps
+
+    cfg = Config(num_iterations=5).replace(
+        filter="naive", occ_map_img="igvc1.png",
+        num_landmark_slots=8, num_meas_slots=8,
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=8))
+    occ, _ = sim_maps.load_occ_map(cfg)
+    rng = np.random.default_rng(0)
+    lms = sim_maps.random_landmarks_batched(cfg, rng, 64, occ=occ)
+    i = np.clip(
+        (cfg.grid_shift - lms[:, :, 1] / cfg.grid_scale).astype(int), 0, 149
+    )
+    j = np.clip(
+        (cfg.grid_shift + lms[:, :, 0] / cfg.grid_scale).astype(int), 0, 149
+    )
+    assert (occ[i, j] >= 0.5).all()
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo
+
+    res, _, _ = run_monte_carlo(cfg, jax.random.PRNGKey(0), 4)
+    assert np.isfinite(res["err_naive"]).all()
