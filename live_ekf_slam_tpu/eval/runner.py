@@ -125,7 +125,12 @@ def make_step(cfg: Config, collect: str = "sums"):
         raise ValueError("Cannot instantiate two instances of the same filter.")
 
     def step(carry: RunCarry, inp):
-        cmd, key = inp
+        # inp is (cmd, key) or (cmd, key, tick); tick is the global tick
+        # index threaded through the scan UNBATCHED (identical across
+        # worlds), which keeps the pose-graph tensor writes scatter-free
+        # under vmap (models/posegraph.py:_set_row)
+        cmd, key, *rest = inp
+        tick = rest[0] if rest else None
         world, meas = sim_step(cfg, carry.world, cmd, key)
         truth_xy = world.pose[:2]
 
@@ -152,12 +157,17 @@ def make_step(cfg: Config, collect: str = "sums"):
                 ),
             )
             m_prev = pg.M
-            prim_state = posegraph.update(cfg, pg, cmd, meas)
+            prim_state = posegraph.update(cfg, pg, cmd, meas, tick=tick)
             if cfg.pose_graph.solve_graph_every_iteration:
                 # the reference's default mode (pose_graph.cpp:262-267):
                 # re-solve every tick, feeding the result back as the next
                 # initial estimate (incremental PCG-GN, models/posegraph.py)
-                prim_state = posegraph.solve_iteration(cfg, prim_state, m_prev)
+                node_t = None if tick is None else jnp.minimum(
+                    tick + 1, jnp.int32(cfg.num_iterations) - 1
+                )
+                prim_state = posegraph.solve_iteration(
+                    cfg, prim_state, m_prev, node_t=node_t
+                )
             est_pose = sec_pose  # published state is the secondary's
         else:
             prim_state = _filter_update(
@@ -226,7 +236,9 @@ def rollout(cfg: Config, carry: RunCarry, cmds, key, collect: str = "sums"):
     step = make_step(cfg, collect)
     t_total = cmds.shape[0]
     keys = jax.random.split(key, t_total)
-    final, outs = jax.lax.scan(step, carry, (cmds, keys))
+    final, outs = jax.lax.scan(
+        step, carry, (cmds, keys, jnp.arange(t_total, dtype=jnp.int32))
+    )
     return final, outs
 
 
@@ -275,12 +287,14 @@ def _batched_rollout_chunked(cfg: Config, collect, lms, keys):
     step = make_step(cfg, collect)
 
     @jax.jit
-    def seg(carry, cmds_seg, keys_seg):
+    def seg(carry, cmds_seg, keys_seg, ticks_seg):
         def batched(c, inp):
-            return jax.vmap(step)(c, inp)
+            # the tick (inp[2]) stays unbatched: all worlds share it
+            return jax.vmap(step, in_axes=(0, (0, 0, None)))(c, inp)
         return jax.lax.scan(
             batched, carry,
-            (jnp.swapaxes(cmds_seg, 0, 1), jnp.swapaxes(keys_seg, 0, 1)),
+            (jnp.swapaxes(cmds_seg, 0, 1), jnp.swapaxes(keys_seg, 0, 1),
+             ticks_seg),
         )
 
     outs_parts = []
@@ -295,7 +309,10 @@ def _batched_rollout_chunked(cfg: Config, collect, lms, keys):
     while i < t_total:
         j = min(i + seg_len, t_total)
         t0 = _time.perf_counter()
-        carry, outs = seg(carry, cmds[:, i:j], tick_keys[:, i:j])
+        carry, outs = seg(
+            carry, cmds[:, i:j], tick_keys[:, i:j],
+            jnp.arange(i, j, dtype=jnp.int32),
+        )
         jax.block_until_ready(carry.err_sum_primary)
         elapsed = _time.perf_counter() - t0
         outs_parts.append(outs)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from live_ekf_slam_tpu.config import Config
 from live_ekf_slam_tpu.core.types import GaussianState, Measurements
-from live_ekf_slam_tpu.ops.precision import dot32
+from live_ekf_slam_tpu.ops.precision import dot32, sel_cols
 from live_ekf_slam_tpu.utils.geometry import wrap_angle
 
 # Initial pose covariance (ekf.cpp:11-18).
@@ -122,10 +122,11 @@ def _meas_slot_update(cfg: Config, carry, slot, x_committed, w_diag):
         ins_id = m  # next available id in ascending order (ekf.cpp:84)
 
     li = 3 + 2 * i
+    e_upd = sel_cols(dvec, li)  # (D, 2) one-hot at the matched slot
 
     # ---------------- landmark update path ----------------
     lm_src = x_committed if cfg.compat.ekf_stale_landmarks else x
-    lmx = jax.lax.dynamic_slice(lm_src, (li,), (2,))
+    lmx = dot32(lm_src, e_upd)  # == lm_src[li:li+2] without a gather
     ddx = lmx[0] - x[0]
     ddy = lmx[1] - x[1]
     dist_raw = jnp.sqrt(ddx * ddx + ddy * ddy)
@@ -147,7 +148,7 @@ def _meas_slot_update(cfg: Config, carry, slot, x_committed, w_diag):
         jnp.float32,
     )
     h = jnp.zeros((2, dvec), jnp.float32).at[:, :3].set(h_veh)
-    h = jax.lax.dynamic_update_slice(h, h_lm, (0, li))
+    h = h + dot32(h_lm, e_upd.T)  # h[:, li:li+2] = h_lm (li >= 3 always)
 
     ang = wrap_angle(jnp.arctan2(ddy, ddx) - x[2])
     nu_b = b - ang - w_b
@@ -155,7 +156,15 @@ def _meas_slot_update(cfg: Config, carry, slot, x_committed, w_diag):
         nu_b = wrap_angle(nu_b)
     nu = jnp.stack([r - dist_raw - w_r, nu_b])
 
-    ph_t = dot32(p, h.T)  # (D, 2)
+    # The ONLY P-sized contraction in the slot body, spelled as a
+    # broadcast-multiply-reduce: exact fp32 on the VPU (a HIGHEST-precision
+    # dot_general would decompose each f32 operand into bf16 limbs and run
+    # multiple MXU passes — slower AND less exact for this skinny shape), and
+    # it fuses with the neighboring elementwise work. Everything else below
+    # is broadcasts, so the whole slot runs in a few passes over P instead of
+    # materializing a (D, D) intermediate per dot_general (the round-1
+    # spelling cost ~0.45 ms/slot at B=1024; see docs/BENCHMARKS.md).
+    ph_t = (p[:, None, :] * h[None, :, :]).sum(-1)  # (D, 2) == P @ H^T
     ss = dot32(h, ph_t) + jnp.diag(w_diag)  # 2x2 innovation covariance
     det = ss[0, 0] * ss[1, 1] - ss[0, 1] * ss[1, 0]
     det = jnp.where(jnp.abs(det) > 0, det, 1.0)
@@ -163,33 +172,64 @@ def _meas_slot_update(cfg: Config, carry, slot, x_committed, w_diag):
         jnp.array([[ss[1, 1], -ss[0, 1]], [-ss[1, 0], ss[0, 0]]], jnp.float32) / det
     )
     k = dot32(ph_t, s_inv)  # (D, 2)
-    x_upd = x + dot32(k, nu)
+    x_upd = x + k[:, 0] * nu[0] + k[:, 1] * nu[1]
     x_upd = x_upd.at[2].set(wrap_angle(x_upd[2]))
-    p_upd = p - dot32(k, dot32(h, p))
+    # K (H P) with (H P) = (P H^T)^T: P is symmetric by construction (predict
+    # is F P F^T + Q, update subtracts K S K^T-structured terms, insertion
+    # writes symmetric blocks), so reusing ph_t avoids a second P-sized
+    # contraction. NOTE the gain K itself still comes from P *columns*
+    # (k = ph_t s_inv) — only the downdate reuses the transpose; the
+    # fp32-unstable spelling documented in docs/BENCHMARKS.md (K built from
+    # HP rows) is NOT what this does. Parity vs the float64 oracle and
+    # T=1000 stability are test-covered.
+    upd_delta = k[:, 0:1] * ph_t[None, :, 0] + k[:, 1:2] * ph_t[None, :, 1]
 
     # ---------------- insertion path ----------------
     tb = x[2] + b
     ct, st = jnp.cos(tb), jnp.sin(tb)
     li_new = 3 + 2 * m
+    e_new = sel_cols(dvec, li_new)  # (D, 2) one-hot at the fresh slot
+    nm = e_new[:, 0] + e_new[:, 1]   # (D,) 0/1 mask of the fresh rows/cols
     seed = jnp.stack([x[0] + r * ct, x[1] + r * st])
-    x_ins = jax.lax.dynamic_update_slice(x, seed, (li_new,))
+    x_ins = x * (1.0 - nm) + dot32(e_new, seed)
     g_x = jnp.array([[1.0, 0.0, -r * st], [0.0, 1.0, r * ct]], jnp.float32)
     g_z = jnp.array([[ct, -r * st], [st, r * ct]], jnp.float32)
-    new_rows = dot32(g_x, p[:3, :])  # (2, D)
+    new_rows = (g_x[:, :, None] * p[None, :3, :]).sum(1)  # (2, D) == G_x P[:3]
     new_block = dot32(dot32(g_x, p[:3, :3]), g_x.T) + dot32(
         g_z * w_diag[None, :], g_z.T
     )
-    p_ins = jax.lax.dynamic_update_slice(p, new_rows.T, (0, li_new))
-    p_ins = jax.lax.dynamic_update_slice(p_ins, new_rows, (li_new, 0))
-    p_ins = jax.lax.dynamic_update_slice(p_ins, new_block, (li_new, li_new))
-    ids_ins = ids.at[m].set(jnp.int32(ins_id))
+    # Equivalent of the reference's conservativeResize + block writes
+    # (P[:, li:+2] = R^T; P[li:+2, :] = R; corner = new_block) expressed as
+    # masked broadcasts — no scatter under vmap, no (D, D) dot_generals:
+    e0, e1 = e_new[:, 0], e_new[:, 1]
+    # R with its own fresh columns replaced by new_block
+    r_corner = jnp.stack([new_rows @ e0, new_rows @ e1], axis=1)  # (2, 2)
+    rf0 = new_rows[0] + e0 * (new_block[0, 0] - r_corner[0, 0]) + e1 * (
+        new_block[0, 1] - r_corner[0, 1]
+    )
+    rf1 = new_rows[1] + e0 * (new_block[1, 0] - r_corner[1, 0]) + e1 * (
+        new_block[1, 1] - r_corner[1, 1]
+    )
+    off_rows = 1.0 - nm
+    col_term = off_rows[:, None] * (
+        new_rows[0][:, None] * e0[None, :] + new_rows[1][:, None] * e1[None, :]
+    )
+    row_term = e0[:, None] * rf0[None, :] + e1[:, None] * rf1[None, :]
+    ids_ins = jnp.where(slot_idx == m, jnp.int32(ins_id), ids)
     can_insert = m < n_cap
 
     # ---------------- select ----------------
+    # P's two mutually-exclusive outcomes are applied as masked DELTAS in one
+    # arithmetic expression, so XLA emits a single fused kernel that reads P
+    # once and writes P once (a nested where over materialized p_upd/p_ins
+    # alternatives costs ~4 extra full passes over P per slot).
     do_update = valid & found
     do_insert = valid & ~found & can_insert
+    su = do_update.astype(jnp.float32)
+    si = do_insert.astype(jnp.float32)
+    ins_mask = 1.0 - off_rows[:, None] * off_rows[None, :]
+    p_out = p - su * upd_delta + si * (col_term + row_term - p * ins_mask)
     x_out = jnp.where(do_update, x_upd, jnp.where(do_insert, x_ins, x))
-    p_out = jnp.where(do_update, p_upd, jnp.where(do_insert, p_ins, p))
     ids_out = jnp.where(do_insert, ids_ins, ids)
     m_out = jnp.where(do_insert, m + 1, m)
     return (x_out, p_out, ids_out, m_out), None

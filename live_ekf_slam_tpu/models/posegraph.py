@@ -95,55 +95,78 @@ def update_naive_estimate(
     return s.replace(lms_init=lms_init, lms_sol=lms_sol)
 
 
-def update(cfg: Config, s: PoseGraphState, cmd, meas: Measurements) -> PoseGraphState:
+def _set_row(arr, t, new_row, live):
+    """arr[t] = new_row (only where live), spelled as slice-level DS/DUS.
+
+    When t is an UNBATCHED tick (threaded through the Monte-Carlo scan as
+    plain xs, identical across worlds), vmap keeps this a single
+    dynamic-update-slice on the batched tensor — the whole (B, T, ...) graph
+    buffer is never re-materialized. The round-1 spelling (`.at[t].set` with
+    the per-world timestep) lowered to a scatter under vmap and made graph
+    accumulation ~100x slower than the rest of the step.
+    """
+    old = jax.lax.dynamic_slice_in_dim(arr, t, 1, axis=0)
+    new = jnp.where(live, new_row[None], old)
+    return jax.lax.dynamic_update_slice_in_dim(arr, new, t, axis=0)
+
+
+def update(
+    cfg: Config, s: PoseGraphState, cmd, meas: Measurements, tick=None
+) -> PoseGraphState:
     """One graph-building tick (pose_graph.cpp:199-271), minus the solve.
 
     The final-tick solve (pose_graph.cpp:208-214) runs outside the scan via
     `solve()`; accumulation past capacity is masked off exactly like the
     reference's stopping criterion.
+
+    tick: the global tick index, when the caller can supply it UNBATCHED
+    (all worlds tick in lockstep, so it always equals s.timestep). Passing it
+    keeps the graph-tensor writes scatter-free under vmap (see _set_row).
     """
     t_cap = s.odom.shape[0]
-    t = s.timestep
+    t = s.timestep if tick is None else jnp.asarray(tick, jnp.int32)
     live = t + 1 < jnp.int32(cfg.num_iterations)
 
-    odom = jnp.where(
-        live, s.odom.at[t].set(jnp.stack([cmd[0], cmd[1]])), s.odom
-    )
-    odom_valid = jnp.where(live, s.odom_valid.at[t].set(True), s.odom_valid)
+    odom = _set_row(s.odom, t, jnp.stack([cmd[0], cmd[1]]), live)
+    odom_valid = _set_row(s.odom_valid, t, jnp.asarray(True), live)
     t_new = jnp.where(live, jnp.minimum(t + 1, t_cap), t)
-    poses_init = jnp.where(
-        live, s.poses_init.at[t_new].set(s.cur_pose), s.poses_init
-    )
+    poses_init = _set_row(s.poses_init, t_new, s.cur_pose, live)
 
     # measurements: resolve landmark slots, seed first sightings, add factors
     n_cap = s.ids.shape[0]
     slot_idx = jnp.arange(n_cap)
 
+    k = s.meas_rb.shape[1]
+    kidx = jnp.arange(k)
+
     def meas_body(carry, slot):
-        ids, m, lms_init, row_rb, row_lm, row_valid, j = carry
-        mid, r, b, valid = slot
+        ids, m, lms_init, row_rb, row_lm, row_valid = carry
+        mid, r, b, valid, j = slot
         valid = valid & live
         match = (ids == mid) & (slot_idx < m)
         found = jnp.any(match)
         idx = jnp.where(found, jnp.argmax(match), m)
         is_new = valid & ~found & (m < n_cap)
         # first sighting: seed global position from the secondary estimate
-        # (pose_graph.cpp:163-169)
+        # (pose_graph.cpp:163-169). One-hot writes (no scatter under vmap).
         seed = jnp.stack(
             [
                 s.cur_pose[0] + r * jnp.cos(s.cur_pose[2] + b),
                 s.cur_pose[1] + r * jnp.sin(s.cur_pose[2] + b),
             ]
         )
-        lms_init = jnp.where(is_new, lms_init.at[m].set(seed), lms_init)
-        ids = jnp.where(is_new, ids.at[m].set(mid), ids)
+        at_m = slot_idx == m
+        lms_init = jnp.where(
+            (is_new & at_m)[:, None], seed[None, :], lms_init
+        )
+        ids = jnp.where(is_new & at_m, mid, ids)
         m = jnp.where(is_new, m + 1, m)
-        row_rb = jnp.where(valid, row_rb.at[j].set(jnp.stack([r, b])), row_rb)
-        row_lm = jnp.where(valid, row_lm.at[j].set(idx), row_lm)
-        row_valid = jnp.where(valid, row_valid.at[j].set(True), row_valid)
-        return (ids, m, lms_init, row_rb, row_lm, row_valid, j + 1), None
+        at_j = valid & (kidx == j)
+        row_rb = jnp.where(at_j[:, None], jnp.stack([r, b])[None, :], row_rb)
+        row_lm = jnp.where(at_j, idx, row_lm)
+        row_valid = row_valid | at_j
+        return (ids, m, lms_init, row_rb, row_lm, row_valid), None
 
-    k = s.meas_rb.shape[1]
     carry0 = (
         s.ids,
         s.M,
@@ -151,16 +174,16 @@ def update(cfg: Config, s: PoseGraphState, cmd, meas: Measurements) -> PoseGraph
         jnp.zeros((k, 2), jnp.float32),
         jnp.zeros(k, jnp.int32),
         jnp.zeros(k, bool),
-        jnp.int32(0),
     )
-    (ids, m, lms_init, row_rb, row_lm, row_valid, _), _ = jax.lax.scan(
-        meas_body, carry0, (meas.ids, meas.r, meas.b, meas.valid)
+    (ids, m, lms_init, row_rb, row_lm, row_valid), _ = jax.lax.scan(
+        meas_body, carry0,
+        (meas.ids, meas.r, meas.b, meas.valid, jnp.arange(k)),
     )
     # factors attach to the *new* pose node (timestep was incremented first,
     # pose_graph.cpp:240-259); row index in the tensors is t_new - 1 = t.
-    meas_rb = jnp.where(live, s.meas_rb.at[t].set(row_rb), s.meas_rb)
-    meas_lm = jnp.where(live, s.meas_lm.at[t].set(row_lm), s.meas_lm)
-    meas_valid = jnp.where(live, s.meas_valid.at[t].set(row_valid), s.meas_valid)
+    meas_rb = _set_row(s.meas_rb, t, row_rb, live)
+    meas_lm = _set_row(s.meas_lm, t, row_lm, live)
+    meas_valid = _set_row(s.meas_valid, t, row_valid, live)
 
     return s.replace(
         odom=odom,
@@ -713,14 +736,23 @@ def solve_pcg_gn(
     return poses, lms
 
 
-def solve_iteration(cfg: Config, s: PoseGraphState, m_prev) -> PoseGraphState:
+def solve_iteration(
+    cfg: Config, s: PoseGraphState, m_prev, node_t=None
+) -> PoseGraphState:
     """One per-tick incremental solve (solve_graph_every_iteration=true,
     pose_graph.cpp:262-267): warm-start from the previous solution with the
     newly-added pose node (and any new landmarks) taken from the secondary
     seeds, run PCG-GN, and store the result back as the next initial
-    estimate."""
+    estimate.
+
+    node_t: the just-added node index (== s.timestep), when available
+    unbatched from the scan — keeps the warm-start row copy scatter-free
+    under vmap (see _set_row).
+    """
     pg = cfg.pose_graph
-    poses0 = s.poses_sol.at[s.timestep].set(s.poses_init[s.timestep])
+    t = s.timestep if node_t is None else jnp.asarray(node_t, jnp.int32)
+    new_row = jax.lax.dynamic_slice_in_dim(s.poses_init, t, 1, axis=0)
+    poses0 = jax.lax.dynamic_update_slice_in_dim(s.poses_sol, new_row, t, axis=0)
     slot = jnp.arange(s.lms_init.shape[0])[:, None]
     lms0 = jnp.where(slot < m_prev, s.lms_sol, s.lms_init)
     poses, lms = solve_pcg_gn(

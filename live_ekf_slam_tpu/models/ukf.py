@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from live_ekf_slam_tpu.config import Config
 from live_ekf_slam_tpu.core.types import Measurements, UKFState
-from live_ekf_slam_tpu.ops.precision import dot32
+from live_ekf_slam_tpu.ops.precision import dot32, sel_cols
 from live_ekf_slam_tpu.utils.geometry import wrap_angle
 
 # Initial covariance diag (ukf.cpp:9-18).
@@ -210,9 +210,14 @@ def _landmark_update(cfg, carry, r, b, li, wts, committed_yaw, true_map, w_diag,
     x_pred, p_pred, x_pred_sig = carry
 
     if true_map is None:
-        lm_pos_cols = jax.lax.dynamic_slice(x_pred_sig, (li, 0), (2, x_pred_sig.shape[1]))
+        # rows (li, li+1) of the sigma matrix without a batched gather
+        e = sel_cols(x_pred_sig.shape[0], li)
+        lm_pos_cols = dot32(e.T, x_pred_sig)
     else:
-        lm = true_map[li]  # known map, localization-only (ukf.cpp:146-153)
+        # known map, localization-only (ukf.cpp:146-153); one-hot avoids a
+        # per-world gather under vmap
+        onehot = (jnp.arange(true_map.shape[0]) == li).astype(jnp.float32)
+        lm = dot32(onehot, true_map)
         lm_pos_cols = jnp.broadcast_to(lm[:, None], (2, x_pred_sig.shape[1]))
 
     z_cols = jax.vmap(
@@ -336,12 +341,17 @@ def update(
             seed = jnp.stack(
                 [x_p[0] + r * jnp.cos(yaw + b), x_p[1] + r * jnp.sin(yaw + b)]
             )
-            x_ins = jax.lax.dynamic_update_slice(x_p, seed, (li,))
+            e = sel_cols(x_p.shape[0], li)  # (Du, 2) one-hot at the new slot
+            nmask = e[:, 0] + e[:, 1]
+            x_ins = x_p * (1.0 - nmask) + dot32(e, seed)
             # covariance gets a fresh W block, zero cross terms (ukf.cpp:363-368)
-            p_ins = jax.lax.dynamic_update_slice(p_p, jnp.diag(w_diag), (li, li))
+            corner = dot32(dot32(e.T, p_p), e)
+            p_ins = p_p + dot32(e, dot32(jnp.diag(w_diag) - corner, e.T))
             x_o = jnp.where(is_new, x_ins, x_p)
             p_o = jnp.where(is_new, p_ins, p_p)
-            ids_o = jnp.where(is_new, ids_c.at[m_c].set(mid), ids_c)
+            ids_o = jnp.where(
+                is_new & (slot_idx == m_c), mid, ids_c
+            )
             m_o = jnp.where(is_new, m_c + 1, m_c)
             return (x_o, p_o, ids_o, m_o), None
 
