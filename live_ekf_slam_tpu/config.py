@@ -118,6 +118,15 @@ class PoseGraphConfig:
     lambda_factor: float = 10.0
     rel_err_tol: float = 1e-5
     prior_sigmas: tuple[float, float, float] = (1.3, 1.3, 1.2)  # pose_graph.cpp:83
+    # Honest-mode pose-0 prior: the simulator hands every filter the EXACT
+    # initial pose (/truth/init_veh_pose, localization_node.cpp:90-106), so
+    # the statistically correct anchor is the filters' own init covariance
+    # (filter.h/ekf.cpp P0 sigmas), not the reference's arbitrary (1.3, 1.3,
+    # 1.2). The weak reference prior leaves the graph's global gauge nearly
+    # free, which dominated PGS absolute error (0.26 m -> 0.034 m at 64
+    # worlds, T=1000 when anchored honestly). Compat mode keeps the
+    # reference value via prior_sigmas.
+    prior_sigmas_honest: tuple[float, float, float] = (0.01, 0.01, 0.005)
     # Iterative-mode (solve_graph_every_iteration) per-tick incremental
     # solver: matrix-free Jacobi-PCG Gauss-Newton steps per tick.
     gn_steps_per_tick: int = 1

@@ -202,6 +202,17 @@ def update(
 # Gauss-Newton / Levenberg-Marquardt solve
 # ----------------------------------------------------------------------
 
+def _prior_sigmas(cfg: Config):
+    """Pose-0 anchor sigmas: the reference's (1.3, 1.3, 1.2)
+    (pose_graph.cpp:83) in compat mode; the true initialization uncertainty
+    in honest mode (see PoseGraphConfig.prior_sigmas_honest — the weak
+    reference prior leaves the global gauge nearly free and dominated PGS
+    absolute error)."""
+    if cfg.compat.pg_variances_as_sigmas:
+        return jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
+    return jnp.asarray(cfg.pose_graph.prior_sigmas_honest, jnp.float32)
+
+
 def _noise_sigmas(cfg: Config, meas_scale: float = 1.0):
     (v00, v11), (w00, w11) = cfg.filter_noise()
     if cfg.compat.pg_variances_as_sigmas:
@@ -221,33 +232,89 @@ def _noise_sigmas(cfg: Config, meas_scale: float = 1.0):
     return odom_s, meas_s
 
 
-def _effective_odom(cfg: Config, odom):
-    """Clip-aware expected forward motion (honest mode only).
+def _clip_uniform_moments(c, v, lo, hi):
+    """Mean and std of clip(c + u, lo, hi) with u ~ U(-v, v), elementwise.
 
-    The simulator clips the noisy command to [0, d_max] (sim_node.py:219-220)
-    and the TSP trajectory commands d_max most of the time, so the executed
-    forward motion is systematically SHORTER than commanded:
-    E[clip(c+u, 0, d_max)] = c - max(c+V-d_max,0)^2/(4V) + max(V-c,0)^2/(4V)
-    for u ~ U(-V, V). Modeling this bias in the between-factors cuts the
-    default-mode PGS error by ~30% at reference scale (0.34 -> 0.23 m).
+    Exact truncated-uniform moments (validated against Monte Carlo to 4
+    decimals), computed on the CENTERED variable g = clip(u, l, h) with
+    l = clip(lo - c, -v, v), h = clip(hi - c, -v, v) — so clip(c+u, lo, hi)
+    = c + g. Centering matters in fp32: E[f^2] - E[f]^2 on the uncentered
+    variable cancels ~mean^2/var >> 1 digits and made the whitened Jacobians
+    jit-order-sensitive at the 1e-3 level; the centered form keeps every
+    term at O(v).
+      P(u<l) = (l+v)/2v,  P(u>h) = (v-h)/2v
+      E[g]   = P(u<l) l + P(u>h) h + (h^2 - l^2) / 4v
+      E[g^2] = P(u<l) l^2 + P(u>h) h^2 + (h^3 - l^3) / 6v.
     """
-    v = cfg.process_noise.V_00
-    if v <= 0.0 or cfg.compat.pg_variances_as_sigmas:
-        # compat mode mirrors the reference/GTSAM factors exactly (no bias)
-        return odom
-    c = odom[:, 0]
-    d_max = cfg.constraints.commands.d_max
-    upper = jnp.maximum(c + v - d_max, 0.0)
-    lower = jnp.maximum(v - c, 0.0)
-    eff = c - upper * upper / (4.0 * v) + lower * lower / (4.0 * v)
-    return odom.at[:, 0].set(eff)
+    l = jnp.clip(lo - c, -v, v)
+    h = jnp.clip(hi - c, -v, v)
+    p_lo = (l + v) / (2.0 * v)
+    p_hi = (v - h) / (2.0 * v)
+    mean_g = p_lo * l + p_hi * h + (h * h - l * l) / (4.0 * v)
+    m2_g = p_lo * l * l + p_hi * h * h + (h ** 3 - l ** 3) / (6.0 * v)
+    var = jnp.maximum(m2_g - mean_g * mean_g, 0.0)
+    return c + mean_g, jnp.sqrt(var)
+
+
+def _odom_moments(cfg: Config, odom):
+    """Clip-aware per-tick odometry moments (honest mode only).
+
+    The simulator clips the noisy command (sim_node.py:219-220): forward to
+    [0, d_max], heading to [-th_max, th_max]. The TSP trajectory saturates
+    both channels much of the time, where the executed motion is (a) biased
+    toward the interior (modeling the forward bias cut default-mode PGS error
+    0.34 -> 0.23 m at reference scale) and (b) LESS noisy than the unclipped
+    U(-V, V): std drops from V/sqrt(3) to ~0.32 V at full saturation. Using
+    the exact per-tick mean and std weights each between-factor by the noise
+    it actually saw.
+
+    Returns (eff (T, 2) expected executed [fwd, hdg], sig (T, 3) residual
+    sigmas [fwd, lateral, hdg]). Compat mode returns the reference/GTSAM
+    factors exactly (raw commands, variance-as-sigma scalars).
+    """
+    t_cap = odom.shape[0]
+    (v00, v11), _ = cfg.filter_noise()
+    if cfg.compat.pg_variances_as_sigmas:
+        # GTSAM models built from variances passed as sigmas
+        # (pose_graph.cpp:52-54), raw commanded motion as the mean
+        sig = jnp.broadcast_to(
+            jnp.asarray([v00, v00, v11], jnp.float32), (t_cap, 3)
+        )
+        return odom, sig
+    v_fwd = cfg.process_noise.V_00
+    v_hdg = cfg.process_noise.V_11
+    s3 = 3.0 ** 0.5
+    if v_fwd > 0.0:
+        eff_d, sig_d = _clip_uniform_moments(
+            odom[:, 0], v_fwd, 0.0, cfg.constraints.commands.d_max
+        )
+        # a fully-saturated tick has std -> 0; floor at 10% of the unclipped
+        # std so no single factor becomes near-infinitely stiff
+        sig_d = jnp.maximum(sig_d, 0.1 * v_fwd / s3)
+    else:
+        eff_d, sig_d = odom[:, 0], jnp.full((t_cap,), 1e-6, jnp.float32)
+    th_max = cfg.constraints.commands.th_max
+    if v_hdg > 0.0:
+        eff_th, sig_th = _clip_uniform_moments(
+            odom[:, 1], v_hdg, -th_max, th_max
+        )
+        sig_th = jnp.maximum(sig_th, 0.1 * v_hdg / s3)
+    else:
+        eff_th, sig_th = odom[:, 1], jnp.full((t_cap,), 1e-6, jnp.float32)
+    # the unicycle has NO lateral slip: the lateral sigma is a small
+    # regularizer rather than sqrt(V) (which lets the trajectory slide
+    # sideways to overfit measurement noise and diverge)
+    sig_lat = jnp.full((t_cap,), 1e-3, jnp.float32)
+    eff = jnp.stack([eff_d, eff_th], axis=1)
+    sig = jnp.stack([sig_d, sig_lat, sig_th], axis=1)
+    return eff, sig
 
 
 def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """All whitened residuals + masks, vectorized over factors."""
-    s = s.replace(odom=_effective_odom(cfg, s.odom))
-    odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
-    prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
+    odom_eff, odom_sig = _odom_moments(cfg, s.odom)
+    _, meas_s = _noise_sigmas(cfg, meas_scale)
+    prior_s = _prior_sigmas(cfg)
 
     # prior on pose 0
     p0 = s.poses_init[0]
@@ -266,9 +333,9 @@ def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     lth = wrap_angle(pb[:, 2] - pa[:, 2])
     r_odom = jnp.stack(
         [
-            (lx - s.odom[:, 0]) / odom_s[0],
-            (ly - 0.0) / odom_s[1],
-            wrap_angle(lth - s.odom[:, 1]) / odom_s[2],
+            (lx - odom_eff[:, 0]) / odom_sig[:, 0],
+            (ly - 0.0) / odom_sig[:, 1],
+            wrap_angle(lth - odom_eff[:, 1]) / odom_sig[:, 2],
         ],
         axis=1,
     )
@@ -307,8 +374,9 @@ def graph_error(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
 def _jacobians(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """Whitened factor Jacobians + residuals, shared by the dense assembler
     and the matrix-free PCG solver."""
-    odom_s, meas_s = _noise_sigmas(cfg, meas_scale)
-    prior_s = jnp.asarray(cfg.pose_graph.prior_sigmas, jnp.float32)
+    _, odom_sig = _odom_moments(cfg, s.odom)
+    _, meas_s = _noise_sigmas(cfg, meas_scale)
+    prior_s = _prior_sigmas(cfg)
 
     r_prior, r_odom, r_meas, rng_safe, (mdx, mdy) = _residuals(
         cfg, s, poses, lms, meas_scale
@@ -338,12 +406,10 @@ def _jacobians(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
         ],
         axis=1,
     )
-    inv_od = jnp.asarray(
-        [1.0 / odom_s[0], 1.0 / odom_s[1], 1.0 / odom_s[2]], jnp.float32
-    )
+    inv_od = 1.0 / odom_sig  # (T, 3) per-tick whitening (clip-aware)
     mask_od = s.odom_valid.astype(jnp.float32)[:, None, None]
-    ja = ja * inv_od[None, :, None] * mask_od
-    jb = jb * inv_od[None, :, None] * mask_od
+    ja = ja * inv_od[:, :, None] * mask_od
+    jb = jb * inv_od[:, :, None] * mask_od
 
     # ---- bearing-range factors: (T, K, 2, 5) tensor built only on demand
     # (the dense assembler needs it; the matrix-free path uses the scalar
