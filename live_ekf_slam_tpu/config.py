@@ -131,6 +131,13 @@ class PoseGraphConfig:
     # solver: matrix-free Jacobi-PCG Gauss-Newton steps per tick.
     gn_steps_per_tick: int = 1
     pcg_iters: int = 12
+    # Bulk/final solver choice: "schur" = Schur-complement PCG-GN with exact
+    # block-tridiagonal (block-Thomas) preconditioning, O(T) per iteration —
+    # reaches the dense optimum and batches thousands of worlds; "dense" =
+    # the original graduated dense LM (O((3T+2N)^3) per iteration).
+    solver: str = "schur"
+    bulk_gn_iters: int = 50
+    bulk_cg_iters: int = 40
 
 
 @_freeze()

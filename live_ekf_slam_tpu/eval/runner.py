@@ -427,27 +427,57 @@ def run_monte_carlo(
         results["diverged_" + cfg.pose_graph.filter_to_compare] = ~np.asarray(
             final.alive_secondary
         )
-        # Solve the accumulated graphs (chunked: the dense normal equations are
-        # O((3T+2N)^2) per world).
+        # Solve the accumulated graphs.
         if collect != "poses":
             raise ValueError("pose_graph runs need collect='poses' for metrics")
         true_poses = outs[0]  # (B, T, 3)
-        if cfg.pose_graph.solve_graph_every_iteration:
-            # final polish warm-started by the per-tick feedback
-            # (initial_estimate = result, pose_graph.cpp:262-267)
-            solve_fn = jax.jit(
+        warm = cfg.pose_graph.solve_graph_every_iteration
+        if cfg.pose_graph.solver == "schur":
+            # O(T)-per-iteration Schur/block-Thomas PCG-GN: big chunks, GN
+            # iterations segmented across device calls so no single call can
+            # trip the TPU tunnel's ~60 s watchdog. Warm-started from the
+            # per-tick feedback in iterative mode (pose_graph.cpp:262-267).
+            pgc = cfg.pose_graph
+            seg_gn = 10
+            rounds = max(1, -(-pgc.bulk_gn_iters // seg_gn))
+            seg_fn = jax.jit(
                 jax.vmap(
-                    lambda s: posegraph.solve(
-                        cfg, s, poses0=s.poses_sol, lms0=s.lms_sol
-                    )[:2]
+                    lambda s, p, l: posegraph.solve_schur_pcg(
+                        cfg, s, p, l, n_gn=seg_gn, n_cg=pgc.bulk_cg_iters
+                    )
                 )
             )
+            solve_chunk = max(solve_chunk, min(batch, 64))
+
+            def solve_sub(sub):
+                p = sub.poses_sol if warm else sub.poses_init
+                l = sub.lms_sol if warm else sub.lms_init
+                for _ in range(rounds):
+                    p, l, _ = seg_fn(sub, p, l)
+                    jax.block_until_ready(p)
+                return p
         else:
-            solve_fn = jax.jit(jax.vmap(lambda s: posegraph.solve(cfg, s)[:2]))
+            # dense LM reference path: O((3T+2N)^3) per world, small chunks
+            if warm:
+                solve_fn = jax.jit(
+                    jax.vmap(
+                        lambda s: posegraph.solve(
+                            cfg, s, poses0=s.poses_sol, lms0=s.lms_sol
+                        )[:2]
+                    )
+                )
+            else:
+                solve_fn = jax.jit(
+                    jax.vmap(lambda s: posegraph.solve(cfg, s)[:2])
+                )
+
+            def solve_sub(sub):
+                return solve_fn(sub)[0]
+
         err_pg = []
         for i in range(0, batch, solve_chunk):
             sub = jax.tree.map(lambda a: a[i: i + solve_chunk], final.primary)
-            poses_sol, _ = solve_fn(sub)
+            poses_sol = solve_sub(sub)
             est = poses_sol[:, 1: t_total + 1, :2]
             tr = true_poses[i: i + solve_chunk, :, :2]
             err_pg.append(
