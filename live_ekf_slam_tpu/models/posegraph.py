@@ -1,9 +1,10 @@
 """Pose-graph SLAM: on-device factor accumulation + batched Gauss-Newton/LM.
 
-Rebuild of pose_graph.cpp with GTSAM replaced by a masked, fixed-shape
-Levenberg-Marquardt solver over dense normal equations:
+Rebuild of pose_graph.cpp with GTSAM replaced by masked, fixed-shape solvers:
 
-  * one prior factor on pose 0 with sigmas (1.3, 1.3, 1.2) (pose_graph.cpp:83)
+  * one prior factor on pose 0 (reference sigmas (1.3, 1.3, 1.2),
+    pose_graph.cpp:83, compat mode; honest mode anchors at the true init
+    uncertainty — see _prior_sigmas)
   * one SE(2) between-factor per tick from the commanded odometry
     Pose2(fwd, 0, ang) (pose_graph.cpp:222)
   * one bearing-range factor per detection, bearing noise first
@@ -13,9 +14,16 @@ Levenberg-Marquardt solver over dense normal equations:
 
 The graph tensors are allocated at full capacity (T ticks, K measurement slots
 per tick, N landmarks) with validity masks, so accumulation runs inside the
-jitted/vmapped per-tick step with static shapes; the solve is a
-`lax.while_loop` LM iteration over dense (3(T+1)+2N)-dim normal equations
-assembled by vectorized scatter-adds (one fused XLA kernel per iteration).
+jitted/vmapped per-tick step with static shapes. Three solvers share the same
+factor Jacobians:
+
+  * `solve_schur_pcg` (default): Schur-eliminated landmarks + CG on the pose
+    system preconditioned by its exact block-tridiagonal chain part
+    (block-Thomas lax.scan) — O(T) per GN iteration, batches 1000s of worlds;
+  * `solve_dense`: graduated dense LM over the (3(T+1)+2N)-dim normal
+    equations (the reference implementation, `lax.while_loop` LM);
+  * `solve_pcg_gn`: matrix-free Jacobi-PCG used incrementally per tick in
+    solve_graph_every_iteration mode (warm starts only).
 
 Residual conventions use the SE(2) local-coordinates approximation of GTSAM's
 Logmap; per-step motions are <= (0.1 m, 0.055 rad) so the difference from the

@@ -112,12 +112,29 @@ def main():
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds,
            "worlds_iter": args.worlds_iter, "configs": {}}
+    # resume: reuse configs already completed in an existing output file
+    # (the TPU tunnel occasionally drops the worker mid-run)
+    if os.path.exists(args.out) and not args.smoke:
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("t") == args.t and prev.get("worlds") == args.worlds:
+                out["configs"].update(prev.get("configs", {}))
+                log(f"resuming: {sorted(out['configs'])} already done")
+        except Exception as e:  # pragma: no cover - best-effort resume
+            log(f"resume skipped: {e}")
+
+    def save():
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
     # ---- the 8 PGS configs (BASELINE.md table shape) ----
     for secondary in ("naive", "ekf_slam"):
         for noise in ("low", "high"):
             for mode in ("one_time", "iter"):
                 name = f"{secondary}_{noise}_{mode}"
+                if name in out["configs"]:
+                    continue
                 iterative = mode == "iter"
                 worlds = args.worlds_iter if iterative else args.worlds
                 cfg = make_cfg(base, noise, "pose_graph",
@@ -138,6 +155,7 @@ def main():
                     "wall_s": round(time.perf_counter() - t0, 1),
                 }
                 out["configs"][name] = cfgstats
+                save()
                 log(f"[{name}] {cfgstats}")
 
     # ---- standalone filter table (default=high noise); the fused Pallas
@@ -147,6 +165,8 @@ def main():
                         ("ukf_slam", "high"), ("ukf_loc", "high"),
                         ("ekf_slam", "low"), ("naive", "low")):
         name = f"solo_{filt}_{noise}"
+        if name in out["configs"]:
+            continue
         cfg = make_cfg(base, noise, filt)
         if filt.startswith("ukf"):
             cfg = cfg.replace(

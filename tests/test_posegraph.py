@@ -245,3 +245,24 @@ def test_update_landmarks_after_adding():
         np.asarray(s.lms_init[:m]), np.asarray(s2.lms_init[:m])
     )
     assert np.isfinite(res["err_pose_graph_result"]).all()
+
+
+def test_schur_solver_matches_dense():
+    """The O(T) Schur/block-Thomas PCG-GN solver must reach the dense LM's
+    optimum: same objective (within 2%) and the same trajectory."""
+    cfg = _small_cfg()
+    _, final, _ = _built_graph(cfg)
+    s = jax.tree.map(lambda a: a[0], final.primary)
+    pd, ld, ed = jax.jit(lambda g: posegraph.solve_dense(cfg, g))(s)
+    ps, ls, es = jax.jit(
+        lambda g: posegraph.solve_schur_pcg(
+            cfg, g, g.poses_init, g.lms_init, n_gn=50, n_cg=40
+        )
+    )(s)
+    ed_, es_ = float(ed), float(es)
+    assert np.isfinite(es_)
+    assert es_ <= ed_ * 1.02 + 1e-3, (es_, ed_)
+    act = int(s.timestep) + 1
+    np.testing.assert_allclose(
+        np.asarray(ps)[:act, :2], np.asarray(pd)[:act, :2], atol=2e-2
+    )
