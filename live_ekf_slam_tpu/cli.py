@@ -15,9 +15,20 @@ plot_result_only), plus an existing params.yaml via --params.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+
+def _honor_platform_env():
+    """Make JAX_PLATFORMS=cpu actually stick: this environment's TPU plugin
+    force-prepends itself regardless of the env var (see tests/conftest.py),
+    and a second process touching the one TPU deadlocks against the first."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _build_cfg(args):
@@ -65,6 +76,59 @@ def _frame_from_state(cfg, name, state, t, true_pose, est_pose, path=None):
         sigma_pts=sig,
         path=path,
     )
+
+
+def run_sim_base(cfg, seed=0, base_dir=None):
+    """sim_base.launch semantics: simulator + plotter + goal pursuit, NO
+    localization node (sim_base.launch:11-15 starts only sim_node,
+    plotting_node, goal_pursuit_node). The viewer shows the true vehicle and
+    landmark map; commands come from the precomputed TSP trajectory, or from
+    clicked-goal pursuit driving on the true pose when
+    precompute_trajectory=false."""
+    import jax
+    import jax.numpy as jnp
+
+    from live_ekf_slam_tpu.sim import maps as sim_maps
+    from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
+    from live_ekf_slam_tpu.sim.world import init_world, sim_step
+    from live_ekf_slam_tpu.viz.live import Frame, LiveViewer
+
+    rng = np.random.default_rng(seed)
+    occ, color = sim_maps.load_occ_map(cfg)
+    lms, n_active = sim_maps.make_landmarks(cfg, rng, occ)
+    cfg = cfg.replace(num_landmark_slots=n_active, num_meas_slots=n_active)
+    lms_j = jnp.asarray(lms)
+    world = init_world(cfg, lms_j, n_active)
+    step = jax.jit(lambda w, c, k: sim_step(cfg, w, c, k))
+
+    gp = None
+    if cfg.precompute_trajectory:
+        cmds = generate_trajectory(cfg, lms_j, n_active, jax.random.PRNGKey(seed))
+    else:
+        from live_ekf_slam_tpu.eval.interactive import GoalPursuit
+
+        gp = GoalPursuit(cfg, occ)
+        gp._cur = list(cfg.init_pose)
+
+    viewer = LiveViewer(
+        cfg, color_map=color, true_landmarks=lms,
+        on_goal=(gp.set_goal if gp is not None else None),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), cfg.num_iterations)
+    cmd = jnp.zeros(2, jnp.float32)
+    for t in range(cfg.num_iterations):
+        if gp is None:
+            cmd = cmds[t]
+        world, _ = step(world, cmd, keys[t])
+        tp = np.asarray(world.pose)
+        if gp is not None:
+            # goal pursuit drives on the only pose there is: the truth
+            cmd = jnp.asarray(gp.on_state(tp), jnp.float32)
+        frame = Frame(timestep=t + 1, true_pose=tp, est_pose=None)
+        if gp is not None and gp.path is not None and len(gp.path):
+            frame.path = np.asarray(gp.path)
+        viewer.update(frame)
+    viewer.finish(base_dir)
 
 
 def run_demo(cfg, seed=0, live=True, base_dir=None):
@@ -198,6 +262,7 @@ def run_monte_carlo_cli(cfg, args):
 
 
 def main(argv=None):
+    _honor_platform_env()
     p = argparse.ArgumentParser(prog="live_ekf_slam_tpu")
     p.add_argument(
         "preset",
@@ -231,7 +296,9 @@ def main(argv=None):
         run_monte_carlo_cli(cfg, args)
     elif args.preset == "igvc1":
         run_igvc(cfg, seed=args.seed, base_dir=args.base_dir)
-    elif args.preset in ("filter_demo_live", "sim_base"):
+    elif args.preset == "sim_base":
+        run_sim_base(cfg, seed=args.seed, base_dir=args.base_dir)
+    elif args.preset == "filter_demo_live":
         run_demo(cfg, seed=args.seed, live=True, base_dir=args.base_dir)
     else:  # filter_demo_results_only
         run_demo(cfg, seed=args.seed, live=False, base_dir=args.base_dir)

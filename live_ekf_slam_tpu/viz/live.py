@@ -44,7 +44,7 @@ class Frame:
 
     timestep: int
     true_pose: np.ndarray            # (3,)
-    est_pose: np.ndarray             # (3,)
+    est_pose: np.ndarray | None      # (3,); None in filterless sim_base runs
     landmarks: np.ndarray | None = None   # (M, 3) [id, x, y]
     cov: np.ndarray | None = None         # (D, D) active block
     sigma_pts: np.ndarray | None = None   # (Du, 2Du+1)
@@ -154,10 +154,12 @@ class LiveViewer:
             frame.timestep + 1 >= cfg.num_iterations
         )
         self.true_hist.append(frame.true_pose.copy())
-        self.est_hist.append(frame.est_pose.copy())
-        self.errors.append(
-            float(np.linalg.norm(frame.est_pose[:2] - frame.true_pose[:2]))
-        )
+        if frame.est_pose is not None:
+            # sim_base runs have no filter and therefore no estimate
+            self.est_hist.append(frame.est_pose.copy())
+            self.errors.append(
+                float(np.linalg.norm(frame.est_pose[:2] - frame.true_pose[:2]))
+            )
         if not plot_now or self.ax is None and self.ax_pg is None:
             return
 
@@ -177,11 +179,12 @@ class LiveViewer:
             )
         if not cfg.plotter.show_entire_traj:
             self._remove("veh_est")
-        dx, dy = pose_arrow_components(frame.est_pose[2], al)
-        self._artists["veh_est"] = ax.arrow(
-            frame.est_pose[0], frame.est_pose[1], dx, dy,
-            facecolor="green", edgecolor="black", width=0.1, zorder=4,
-        )
+        if frame.est_pose is not None:
+            dx, dy = pose_arrow_components(frame.est_pose[2], al)
+            self._artists["veh_est"] = ax.arrow(
+                frame.est_pose[0], frame.est_pose[1], dx, dy,
+                facecolor="green", edgecolor="black", width=0.1, zorder=4,
+            )
         if frame.cov is not None and cfg.plotter.show_veh_ellipse:
             ell = cov_to_ellipse(frame.cov[:2, :2], cfg.plotter.cov_std_dev)
             if not cfg.plotter.show_entire_traj:

@@ -277,3 +277,19 @@ def test_apriltag_recorded_replay():
     # noiseless measurements + exact odometry -> tight tracking
     err = np.linalg.norm(poses[-1][:2] - pose[:2])
     assert err < 0.05, err
+
+
+def test_sim_base_preset_runs_filterless():
+    """sim_base.launch semantics: simulator + plotter, no localization node
+    (sim_base.launch:11-15). Both trajectory modes must run headless."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from live_ekf_slam_tpu import cli as C
+    from live_ekf_slam_tpu.config import Config, preset
+
+    cfg = preset("sim_base", Config(num_iterations=12)).replace(
+        num_iterations=12
+    )
+    C.run_sim_base(cfg, seed=0)
+    C.run_sim_base(cfg.replace(precompute_trajectory=False), seed=0)
