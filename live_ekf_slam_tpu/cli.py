@@ -169,6 +169,57 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
         on_goal=(gp.set_goal if gp is not None else None),
     )
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), cfg.num_iterations)
+
+    # async viewer feed: device stepping in a producer thread, rendering the
+    # newest frame here (PlotterConfig.async_viz; native ring buffer).
+    # Precomputed-trajectory, non-pose-graph demos only — interactive goal
+    # pursuit needs the click/render thread in the control loop.
+    from live_ekf_slam_tpu import native as les_native
+
+    if (
+        live and cfg.plotter.async_viz and gp is None
+        and cfg.filter != "pose_graph" and les_native.available()
+    ):
+        import threading
+        import time as _time
+
+        from live_ekf_slam_tpu.viz.async_feed import AsyncFrameFeed
+
+        feed = AsyncFrameFeed(cfg.num_landmark_slots)
+        errors: list[float] = []
+        done = threading.Event()
+
+        def producer():
+            c = carry
+            for t in range(cfg.num_iterations):
+                c, (tp, ep) = step(c, (cmds[t], keys[t]))
+                tp_, ep_ = np.asarray(tp), np.asarray(ep)
+                errors.append(float(np.linalg.norm(ep_[:2] - tp_[:2])))
+                fr = _frame_from_state(
+                    cfg, cfg.filter, c.primary, t + 1, tp_, ep_
+                )
+                feed.push(t + 1, tp_, ep_, fr.landmarks)
+            done.set()
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while not done.is_set() or len(feed.ring):
+            frame = feed.pop_latest()
+            if frame is None:
+                _time.sleep(0.005)
+                continue
+            viewer.update(frame)
+        th.join()
+        # the metric covers every tick (producer-side), not just rendered ones
+        viewer.errors = errors
+        avg = viewer.finish(base_dir)
+        print(
+            f"Average error in {cfg.filter} from true vehicle pose history = "
+            f"{avg} (async viz: {feed.dropped} frames skipped)"
+        )
+        feed.close()
+        return
+
     import jax.numpy as jnp2
     cmd = jnp2.zeros(2, jnp2.float32)
     for t in range(cfg.num_iterations):

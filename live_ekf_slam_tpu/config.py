@@ -192,6 +192,12 @@ class PlotterConfig:
     pg_show_normal_viz_alongside: bool = True
     pg_show_meas_connections: bool = False
     pg_show_cmd_connections: bool = False
+    # Decouple device stepping from rendering via the native frame ring
+    # buffer (native/src/ringbuf.cpp): the compute loop runs in a producer
+    # thread pushing snapshots, the matplotlib loop renders the newest at
+    # its own rate (latest-wins; skipped frames are counted). Requires the
+    # built native lib; falls back to synchronous rendering otherwise.
+    async_viz: bool = False
 
 
 @_freeze()

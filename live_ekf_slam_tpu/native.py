@@ -18,6 +18,10 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
+# C job signature for the native scheduler: void job(void* arg). Python
+# callbacks wrapped in JOB_FN reacquire the GIL inside ctypes.
+JOB_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+
 
 def _load():
     global _LIB, _TRIED
@@ -45,6 +49,39 @@ def _load():
             lib.local_planner_bfs.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ]
+            # async frame ring buffer (native/src/ringbuf.cpp)
+            lib.ringbuf_create.restype = ctypes.c_int64
+            lib.ringbuf_create.argtypes = [ctypes.c_int, ctypes.c_int]
+            for fn in ("ringbuf_push", "ringbuf_pop_latest",
+                       "ringbuf_pop_oldest"):
+                f = getattr(lib, fn)
+                f.restype = ctypes.c_int
+                f.argtypes = [
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                ]
+            lib.ringbuf_count.restype = ctypes.c_int
+            lib.ringbuf_count.argtypes = [ctypes.c_int64]
+            lib.ringbuf_dropped.restype = ctypes.c_uint64
+            lib.ringbuf_dropped.argtypes = [ctypes.c_int64]
+            lib.ringbuf_destroy.argtypes = [ctypes.c_int64]
+            # multi-threaded job scheduler (native/src/scheduler.cpp)
+            lib.sched_create.restype = ctypes.c_int64
+            lib.sched_create.argtypes = [ctypes.c_int]
+            lib.sched_submit.restype = ctypes.c_int
+            lib.sched_submit.argtypes = [
+                ctypes.c_int64, JOB_FN, ctypes.c_void_p,
+            ]
+            lib.sched_wait.argtypes = [ctypes.c_int64]
+            lib.sched_destroy.argtypes = [ctypes.c_int64]
+            lib.astar_plan_batch.restype = ctypes.c_int
+            lib.astar_plan_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
             ]
             _LIB = lib
         except OSError:
@@ -100,3 +137,128 @@ def local_planner_bfs(occ: np.ndarray, start_ij):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return tuple(out) if ok else None
+
+
+class FrameRing:
+    """Async frame ring buffer (native/src/ringbuf.cpp): a device-readback
+    producer pushes flattened float frames, the render loop pops the newest
+    at its own rate. Overwrite-oldest; `dropped` counts skipped frames."""
+
+    def __init__(self, slot_floats: int, n_slots: int = 8):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self.slot_floats = int(slot_floats)
+        self._h = lib.ringbuf_create(self.slot_floats, int(n_slots))
+        if not self._h:
+            raise RuntimeError("ringbuf_create failed")
+
+    def push(self, frame: np.ndarray) -> bool:
+        buf = np.ascontiguousarray(frame, dtype=np.float32).reshape(-1)
+        assert buf.size == self.slot_floats
+        return bool(self._lib.ringbuf_push(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.slot_floats,
+        ))
+
+    def pop_latest(self) -> np.ndarray | None:
+        out = np.empty(self.slot_floats, np.float32)
+        got = self._lib.ringbuf_pop_latest(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.slot_floats,
+        )
+        return out if got else None
+
+    def pop_oldest(self) -> np.ndarray | None:
+        out = np.empty(self.slot_floats, np.float32)
+        got = self._lib.ringbuf_pop_oldest(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.slot_floats,
+        )
+        return out if got else None
+
+    def __len__(self) -> int:
+        return max(self._lib.ringbuf_count(self._h), 0)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.ringbuf_dropped(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.ringbuf_destroy(self._h)
+            self._h = 0
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class JobScheduler:
+    """Multi-threaded host job pool (native/src/scheduler.cpp). Submit Python
+    callables (run on C++ worker threads; ctypes reacquires the GIL, so pure-
+    Python jobs serialize on the GIL but C-calling jobs like numpy/ctypes
+    work in parallel) and wait for completion."""
+
+    def __init__(self, n_threads: int = 0):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._h = lib.sched_create(int(n_threads))
+        if not self._h:
+            raise RuntimeError("sched_create failed")
+        self._keepalive: list = []  # callbacks must outlive execution
+
+    def submit(self, fn) -> None:
+        cb = JOB_FN(lambda _arg: fn())
+        self._keepalive.append(cb)
+        if not self._lib.sched_submit(self._h, cb, None):
+            raise RuntimeError("sched_submit failed")
+
+    def wait(self) -> None:
+        self._lib.sched_wait(self._h)
+        self._keepalive.clear()
+
+    def close(self):
+        if self._h:
+            self._lib.sched_destroy(self._h)
+            self._h = 0
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def astar_plan_batch(occ: np.ndarray, starts, goals, diagonals=True,
+                     n_threads: int = 0, max_len: int | None = None):
+    """Plan many (start, goal) pairs over one grid on the native thread pool.
+
+    Returns a list of paths (each a list of (i, j), or None when no path),
+    identical per pair to astar_plan."""
+    lib = _load()
+    assert lib is not None
+    occ = np.ascontiguousarray(occ, dtype=np.float32)
+    size = occ.shape[0]
+    starts = np.ascontiguousarray(starts, dtype=np.int32).reshape(-1, 2)
+    goals = np.ascontiguousarray(goals, dtype=np.int32).reshape(-1, 2)
+    n = starts.shape[0]
+    assert goals.shape[0] == n
+    stride = max_len or size * size
+    out = np.zeros((n, stride, 2), np.int32)
+    lens = np.zeros(n, np.int32)
+    lib.astar_plan_batch(
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), size,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        goals.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n, 1 if diagonals else 0, int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), stride,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return [
+        [tuple(row) for row in out[j, : lens[j]]] if lens[j] >= 0 else None
+        for j in range(n)
+    ]

@@ -293,3 +293,93 @@ def test_sim_base_preset_runs_filterless():
     )
     C.run_sim_base(cfg, seed=0)
     C.run_sim_base(cfg.replace(precompute_trajectory=False), seed=0)
+
+
+def test_native_frame_ring_and_scheduler():
+    """Native runtime components (native/src/{ringbuf,scheduler}.cpp):
+    latest-wins ring semantics under a threaded producer, FIFO pop, drop
+    accounting; job scheduler runs all jobs; batched A* matches single."""
+    from live_ekf_slam_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built (make -C native)")
+
+    # ring buffer: overwrite-oldest + latest-wins
+    ring = native.FrameRing(4, n_slots=3)
+    for i in range(5):
+        assert ring.push(np.full(4, float(i), np.float32))
+    assert len(ring) == 3 and ring.dropped == 2
+    latest = ring.pop_latest()
+    assert latest is not None and latest[0] == 4.0
+    assert len(ring) == 0 and ring.pop_latest() is None
+    # FIFO pop
+    ring.push(np.full(4, 7.0, np.float32))
+    ring.push(np.full(4, 8.0, np.float32))
+    assert ring.pop_oldest()[0] == 7.0
+    assert ring.pop_oldest()[0] == 8.0
+    # threaded producer
+    import threading
+
+    def produce():
+        for i in range(100):
+            ring.push(np.full(4, float(i), np.float32))
+
+    th = threading.Thread(target=produce)
+    th.start()
+    th.join()
+    assert ring.pop_latest()[0] == 99.0
+    ring.close()
+
+    # scheduler: all jobs execute, wait() blocks until done
+    sched = native.JobScheduler(4)
+    results = []
+    lock = threading.Lock()
+    for i in range(32):
+        def job(i=i):
+            with lock:
+                results.append(i)
+        sched.submit(job)
+    sched.wait()
+    assert sorted(results) == list(range(32))
+    sched.close()
+
+    # batched A* == sequential A* per pair
+    rng = np.random.default_rng(0)
+    occ = np.ones((40, 40), np.float32)
+    occ[10:30, 18:22] = 0.0  # wall with gaps at the edges
+    pairs = []
+    while len(pairs) < 6:
+        s = tuple(rng.integers(0, 40, 2))
+        g = tuple(rng.integers(0, 40, 2))
+        if occ[s] > 0 and occ[g] > 0:
+            pairs.append((s, g))
+    starts = np.array([p[0] for p in pairs], np.int32)
+    goals = np.array([p[1] for p in pairs], np.int32)
+    batch = native.astar_plan_batch(occ, starts, goals, n_threads=4)
+    for (s, g), got in zip(pairs, batch):
+        ref = native.astar_plan(occ, s, g)
+        assert got == ref, (s, g)
+
+
+def test_async_frame_feed_roundtrip():
+    """viz.async_feed: encode -> ring -> decode preserves the frame."""
+    from live_ekf_slam_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    from live_ekf_slam_tpu.viz.async_feed import AsyncFrameFeed
+
+    feed = AsyncFrameFeed(n_landmark_slots=5)
+    lms = np.array([[0, 1.0, 2.0], [3, -1.0, 0.5]], np.float32)
+    feed.push(7, np.array([1.0, 2.0, 0.3]), np.array([1.1, 2.1, 0.25]), lms)
+    fr = feed.pop_latest()
+    assert fr is not None and fr.timestep == 7
+    np.testing.assert_allclose(fr.true_pose, [1.0, 2.0, 0.3], atol=1e-6)
+    np.testing.assert_allclose(fr.est_pose, [1.1, 2.1, 0.25], atol=1e-6)
+    np.testing.assert_allclose(fr.landmarks, lms, atol=1e-6)
+    assert feed.pop_latest() is None
+    feed.close()
