@@ -1,12 +1,10 @@
 """Pose-graph GN/LM solver tests: Jacobian correctness, convergence, and the
 reference's accuracy ordering (PGS result <= secondary filter)."""
 
-import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from live_ekf_slam_tpu.config import CompatConfig, Config
 from live_ekf_slam_tpu.eval.runner import run_monte_carlo
@@ -97,9 +95,6 @@ def test_lm_converges_to_global_optimum():
         assert abs(float(err2) - float(err)) / max(float(err), 1.0) < 0.25
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RUN_SLOW"), reason="slow full-scale statistical test"
-)
 def test_pgs_beats_naive_at_reference_scale():
     """data/naive_high_noise_*: PGS-result < naive over 1000-tick runs with
     TSP loop closures, under the reference's compat noise weighting."""
