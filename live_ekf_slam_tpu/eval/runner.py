@@ -298,14 +298,18 @@ def _batched_rollout_chunked(cfg: Config, collect, lms, keys):
         )
 
     outs_parts = []
-    batch = lms.shape[0]
-    if cfg.filter == "pose_graph" and cfg.pose_graph.solve_graph_every_iteration:
-        # the per-tick PCG measured at ~0.005 s/(tick*world)
-        seg_len = 25 if batch > 64 else 50
-    else:
-        seg_len = 125
-    seg_len = min(seg_len, t_total)
+    # Self-calibrating segmentation: probe with a small segment, measure the
+    # steady per-tick rate, then size segments to ~25 s per device call —
+    # the per-tick cost spans ~3 orders of magnitude across filter/batch
+    # combinations (naive B=128 vs EKF-secondary pose-graph B=512), so any
+    # fixed segment length either thrashes on launch overhead or trips the
+    # TPU tunnel's ~60 s watchdog. Lengths are quantized so at most a
+    # handful of segment shapes ever compile.
+    quant = [10, 25, 50, 125, 250]
+    seg_len = min(10, t_total)
+    target_s, panic_s = 25.0, 45.0
     i = 0
+    n_calls = 0
     while i < t_total:
         j = min(i + seg_len, t_total)
         t0 = _time.perf_counter()
@@ -317,10 +321,18 @@ def _batched_rollout_chunked(cfg: Config, collect, lms, keys):
         elapsed = _time.perf_counter() - t0
         outs_parts.append(outs)
         i = j
-        # adapt: stay well under the ~60 s per-call watchdog (the first call
-        # includes compile time, so only shrink on a clearly-slow execution)
-        if elapsed > 35.0 and seg_len > 25 and i > 125:
-            seg_len = 25
+        n_calls += 1
+        rate = elapsed / seg_len  # s per tick at this batch
+        if n_calls == 1:
+            continue  # first call timing includes compile
+        if n_calls == 2:
+            # steady probe: jump to the largest quantized length within target
+            fit = [q for q in quant if rate * q <= target_s]
+            seg_len = fit[-1] if fit else quant[0]
+        elif elapsed > panic_s and seg_len in quant and seg_len > quant[0]:
+            seg_len = quant[quant.index(seg_len) - 1]
+        if 0 < t_total - i < seg_len:
+            seg_len = t_total - i
     if outs_parts[0] is None:
         return carry, None
     outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts)
@@ -440,20 +452,29 @@ def run_monte_carlo(
             pgc = cfg.pose_graph
             seg_gn = 10
             rounds = max(1, -(-pgc.bulk_gn_iters // seg_gn))
-            seg_fn = jax.jit(
-                jax.vmap(
-                    lambda s, p, l: posegraph.solve_schur_pcg(
-                        cfg, s, p, l, n_gn=seg_gn, n_cg=pgc.bulk_cg_iters
+            # graduated non-convexity for cold starts (models/posegraph.py
+            # solve(): relax measurement sigmas 16x/4x first, then solve at
+            # 1x); warm starts (iterative-mode feedback) are already near
+            # the optimum and skip the graduation
+            scales = ([16.0, 4.0] if not warm else []) + [1.0] * rounds
+            seg_fns = {
+                sc: jax.jit(
+                    jax.vmap(
+                        lambda s, p, l, _sc=sc: posegraph.solve_schur_pcg(
+                            cfg, s, p, l, n_gn=seg_gn,
+                            n_cg=pgc.bulk_cg_iters, meas_scale=_sc,
+                        )
                     )
                 )
-            )
+                for sc in set(scales)
+            }
             solve_chunk = max(solve_chunk, min(batch, 64))
 
             def solve_sub(sub):
                 p = sub.poses_sol if warm else sub.poses_init
                 l = sub.lms_sol if warm else sub.lms_init
-                for _ in range(rounds):
-                    p, l, _ = seg_fn(sub, p, l)
+                for sc in scales:
+                    p, l, _ = seg_fns[sc](sub, p, l)
                     jax.block_until_ready(p)
                 return p
         else:

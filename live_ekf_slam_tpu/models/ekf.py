@@ -250,6 +250,12 @@ def update(cfg: Config, s: GaussianState, cmd, meas: Measurements) -> GaussianSt
     (x_t, p_t, ids, m), _ = jax.lax.scan(
         body, (x_pred, p_pred, s.ids, s.M), slots
     )
+    # One symmetrization per tick: the slot downdate reuses (P H^T)^T for
+    # H P (see _meas_slot_update), which is exact only for symmetric P; the
+    # fp32 asymmetry it leaves behind compounds over 1000-tick rollouts into
+    # divergence (measured: 35/64 worlds at T=1000 without this, 0 with).
+    # One extra pass per tick instead of one per slot.
+    p_t = 0.5 * (p_t + p_t.T)
     return GaussianState(x=x_t, P=p_t, ids=ids, M=m, timestep=s.timestep + 1)
 
 

@@ -640,14 +640,33 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     pg = cfg.pose_graph
     poses0_ = s.poses_init if poses0 is None else poses0
     lms0_ = s.lms_init if lms0 is None else lms0
+    # graduated non-convexity for cold starts (same 16x/4x/1x schedule as
+    # solve_dense): tight bearing sigmas — razor-sharp at the low-noise
+    # profile (~1.8e-4 rad) — create contorted local minima when GN starts
+    # from a drifted init; relaxing the measurement sigmas first smooths the
+    # landscape. Measured: without it, low-noise one-time PGS landed at
+    # 0.76 m vs 0.018 m naive; with it, at the optimum.
+    stage_gn = max(8, pg.bulk_gn_iters // 3)
+    poses, lms, err = poses0_, lms0_, jnp.float32(jnp.inf)
+    for scale in (16.0, 4.0):
+        poses, lms, err = solve_schur_pcg(
+            cfg, s, poses, lms, n_gn=stage_gn, n_cg=pg.bulk_cg_iters,
+            meas_scale=scale,
+        )
     poses, lms, err = solve_schur_pcg(
-        cfg, s, poses0_, lms0_, n_gn=pg.bulk_gn_iters, n_cg=pg.bulk_cg_iters
+        cfg, s, poses, lms, n_gn=pg.bulk_gn_iters, n_cg=pg.bulk_cg_iters
     )
     if poses0 is not None:
         # a warm start (iterative-mode feedback) can sit in a worse basin
         # than the raw secondary seeding; try the raw path too, keep better
+        poses_r, lms_r = s.poses_init, s.lms_init
+        for scale in (16.0, 4.0):
+            poses_r, lms_r, _ = solve_schur_pcg(
+                cfg, s, poses_r, lms_r, n_gn=stage_gn, n_cg=pg.bulk_cg_iters,
+                meas_scale=scale,
+            )
         poses_r, lms_r, err_r = solve_schur_pcg(
-            cfg, s, s.poses_init, s.lms_init,
+            cfg, s, poses_r, lms_r,
             n_gn=pg.bulk_gn_iters, n_cg=pg.bulk_cg_iters,
         )
         take_r = err_r < err
@@ -969,6 +988,7 @@ def _hpl_apply(s: PoseGraphState, coeffs, vl):
 def solve_schur_pcg(
     cfg: Config, s: PoseGraphState, poses, lms,
     n_gn: int = 8, n_cg: int = 12, damping: float = 1e-4,
+    meas_scale: float = 1.0,
 ):
     """Bulk GN solver: eliminate landmarks by Schur complement, solve the
     reduced pose system with CG preconditioned by its EXACT block-tridiagonal
@@ -984,7 +1004,7 @@ def solve_schur_pcg(
     no dense factorization — so thousands of worlds vmap in one call.
     Dense-LM parity is test-covered; used by solve() for Monte-Carlo scale.
     """
-    err = graph_error(cfg, s, poses, lms)
+    err = graph_error(cfg, s, poses, lms, meas_scale)
     # Levenberg-style relative damping, adapted per GN iteration: far from
     # the optimum a full Gauss-Newton step overshoots the linearization and
     # the line search rejects it outright; raising the damping turns the
@@ -995,8 +1015,8 @@ def solve_schur_pcg(
 
     def gn_body(carry, _):
         poses, lms, err, lam = carry
-        jac = _jacobians(cfg, s, poses, lms)
-        coeffs, r_meas = _meas_coeffs(cfg, s, poses, lms, 1.0)
+        jac = _jacobians(cfg, s, poses, lms, meas_scale)
+        coeffs, r_meas = _meas_coeffs(cfg, s, poses, lms, meas_scale)
         gp, gl = _grad(cfg, s, jac, coeffs, r_meas)
         d, u, p_active = _pose_blocks(cfg, s, jac, coeffs, lam)
         fac = _tridiag_factor(d, u)
@@ -1047,7 +1067,7 @@ def solve_schur_pcg(
             pn = poses + alpha * xp
             pn = pn.at[:, 2].set(wrap_angle(pn[:, 2]))
             ln = lms + alpha * xl
-            return pn, ln, graph_error(cfg, s, pn, ln)
+            return pn, ln, graph_error(cfg, s, pn, ln, meas_scale)
 
         p1, l1, e1 = cand(1.0)
         p2, l2, e2 = cand(0.5)
