@@ -1125,12 +1125,13 @@ def solve_alternating(
     """Block-coordinate Gauss-Newton: alternate exact pose-chain and
     landmark GN steps, each guarded by a halving line search.
 
-    Converges to the joint optimum at a rate set by the pose-landmark
-    coupling; per outer iteration the cost is O(T) elementwise work (no
-    dense factorization), so thousands of worlds batch in one vmap. Used to
-    bulk-initialize/solve Monte-Carlo graphs where the dense LM's
-    O((3T+2N)^3) per-world cost dominates; a dense LM polish afterwards
-    closes the last digits (see solve()).
+    MEASURED DEAD END, kept as the documented negative result: the strong
+    pose-landmark coupling makes the alternation zigzag (contraction ~0.97
+    per outer iteration at T=1000; heavy-ball momentum improves it to ~0.99
+    -> ~0.97 effective but it still stalls 100x above the optimum after 400
+    iterations). `solve_schur_pcg` solves the SAME subproblem structure
+    jointly (landmarks Schur-eliminated, chain as preconditioner) and
+    converges in ~50 GN steps — use that. Not wired into solve().
     """
     err = graph_error(cfg, s, poses, lms)
 
