@@ -261,3 +261,41 @@ def test_schur_solver_matches_dense():
     np.testing.assert_allclose(
         np.asarray(ps)[:act, :2], np.asarray(pd)[:act, :2], atol=2e-2
     )
+
+
+def test_clip_uniform_moments_match_monte_carlo():
+    """_clip_uniform_moments: exact mean/std of clip(c+u, lo, hi), u~U(-v,v),
+    across unclipped, partially- and fully-saturated regimes."""
+    rng = np.random.default_rng(0)
+    cases = [
+        (0.1, 0.01, 0.0, 0.1),      # fwd fully saturated at d_max
+        (0.095, 0.01, 0.0, 0.1),    # partially clipped
+        (0.05, 0.01, 0.0, 0.1),     # unclipped
+        (0.004, 0.01, 0.0, 0.1),    # clipped at zero
+        (0.0546, 0.001, -0.0546, 0.0546),   # heading saturated
+        (0.02, 0.001, -0.0546, 0.0546),     # heading unclipped
+        (-0.0546, 0.001, -0.0546, 0.0546),  # heading saturated negative
+    ]
+    for c, v, lo, hi in cases:
+        u = rng.uniform(-v, v, 500_000)
+        f = np.clip(c + u, lo, hi)
+        m, s = posegraph._clip_uniform_moments(
+            jnp.float32(c), jnp.float32(v), jnp.float32(lo), jnp.float32(hi)
+        )
+        assert abs(float(m) - f.mean()) < 5e-5, (c, float(m), f.mean())
+        assert abs(float(s) - f.std()) < 5e-5, (c, float(s), f.std())
+
+
+def test_odom_moments_compat_matches_reference_model():
+    """Compat mode must reproduce the GTSAM factors exactly: raw commanded
+    motion as the mean, variance-as-sigma scalars (pose_graph.cpp:52-54)."""
+    from live_ekf_slam_tpu.config import CompatConfig
+
+    cfg = Config().replace(compat=CompatConfig.all_on())
+    odom = jnp.array([[0.1, 0.02], [0.05, -0.0546]], jnp.float32)
+    eff, sig = posegraph._odom_moments(cfg, odom)
+    np.testing.assert_allclose(np.asarray(eff), np.asarray(odom))
+    v00, v11 = cfg.filter_noise()[0]
+    np.testing.assert_allclose(
+        np.asarray(sig), np.broadcast_to([v00, v00, v11], (2, 3)), rtol=1e-6
+    )
