@@ -75,7 +75,7 @@ def robust_stats(err, diverged):
 
 
 def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
-               impl="xla"):
+               impl="xla", retries=3):
     import jax
 
     from live_ekf_slam_tpu.eval.runner import run_monte_carlo
@@ -83,10 +83,21 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
     accum = {}
     for i in range(0, worlds, batch_chunk):
         b = min(batch_chunk, worlds - i)
-        res, _, _ = run_monte_carlo(
-            cfg, jax.random.PRNGKey(key_seed + i), b,
-            seed=key_seed + i, collect=collect, impl=impl,
-        )
+        # the TPU tunnel occasionally drops a request mid-compile
+        # (remote_compile "response body closed"); retry the chunk
+        for attempt in range(retries):
+            try:
+                res, _, _ = run_monte_carlo(
+                    cfg, jax.random.PRNGKey(key_seed + i), b,
+                    seed=key_seed + i, collect=collect, impl=impl,
+                )
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if attempt + 1 == retries:
+                    raise
+                log(f"    chunk {i}: transient TPU error, retrying "
+                    f"({attempt + 1}/{retries}): {str(e)[:120]}")
+                time.sleep(20.0 * (attempt + 1))
         for k, v in res.items():
             accum.setdefault(k, []).append(np.asarray(v))
         log(f"    {i + b}/{worlds} worlds")
