@@ -54,7 +54,11 @@ def main():
     from live_ekf_slam_tpu.sim import maps as sim_maps
     from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 
-    cfg = Config(num_iterations=t_total).replace(filter="ekf_slam")
+    if impl == "pallas" and filt not in ("ekf_slam", "ukf_slam", "ukf_loc"):
+        raise SystemExit(
+            f"BENCH_FILTER={filt} has no Pallas kernel; set BENCH_IMPL=xla"
+        )
+    cfg = Config(num_iterations=t_total).replace(filter=filt)
     rng = np.random.default_rng(0)
 
     # Landmark ids are relabeled by TSP visit order (slot = visit rank): a

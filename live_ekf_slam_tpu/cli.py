@@ -222,6 +222,7 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
 
     import jax.numpy as jnp2
     cmd = jnp2.zeros(2, jnp2.float32)
+    pg_meas_acc: list[tuple[int, int]] = []  # host-side (pose, lm) pairs
     for t in range(cfg.num_iterations):
         if gp is None:
             cmd = cmds[t]
@@ -264,12 +265,26 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
                     cfg.plotter.pg_show_meas_connections
                     and ts > 0 and m
                 ):
-                    mv = np.asarray(pg.meas_valid)[:ts]
-                    ml = np.asarray(pg.meas_lm)[:ts]
-                    rows, cols = np.nonzero(mv)
-                    frame.pg_meas = np.stack(
-                        [rows + 1, ml[rows, cols]], axis=1
-                    )
+                    if live:
+                        # fetch only the newly-added row and accumulate the
+                        # (pose, landmark) pairs host-side: re-reading the
+                        # full (ts, K) tensors every tick is an O(T^2)
+                        # device->host transfer pattern over the run
+                        mv_row = np.asarray(pg.meas_valid[ts - 1])
+                        ml_row = np.asarray(pg.meas_lm[ts - 1])
+                        for kk in np.nonzero(mv_row)[0]:
+                            pg_meas_acc.append((ts, int(ml_row[kk])))
+                        if pg_meas_acc:
+                            frame.pg_meas = np.asarray(pg_meas_acc, np.int64)
+                    else:
+                        # results-only mode renders one final frame: one
+                        # full read is the O(T) path here
+                        mv = np.asarray(pg.meas_valid)[:ts]
+                        ml = np.asarray(pg.meas_lm)[:ts]
+                        rows, cols = np.nonzero(mv)
+                        frame.pg_meas = np.stack(
+                            [rows + 1, ml[rows, cols]], axis=1
+                        )
             viewer.update(frame)
     avg = viewer.finish(base_dir)
     print(f"Average error in {cfg.filter} from true vehicle pose history = {avg}")

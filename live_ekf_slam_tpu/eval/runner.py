@@ -406,7 +406,13 @@ def run_monte_carlo(
                 block_worlds=block_worlds,
             )
             # worlds where the divergence guard fired (ops/fused_ukf.py)
-            diverged = np.asarray(out["update_rejects"]) > 0
+            # a transiently-gated update is normal recoverable operation
+            # (docs/BENCHMARKS.md: 21/512 worlds with any rejection, only 6
+            # above 1 m); mirror the XLA path's criterion — non-finite or
+            # implausibly far — instead of flagging every gated world.
+            # update_rejects stays available in `out` for reporting.
+            err_chk = np.asarray(out["err_sum"]) / cfg.num_iterations
+            diverged = ~np.isfinite(err_chk) | (err_chk > DIVERGENCE_RADIUS)
         err = np.asarray(out["err_sum"]) / cfg.num_iterations
         results = {
             "err_" + cfg.filter: err,
@@ -454,9 +460,11 @@ def run_monte_carlo(
             rounds = max(1, -(-pgc.bulk_gn_iters // seg_gn))
             # graduated non-convexity for cold starts (models/posegraph.py
             # solve(): relax measurement sigmas 16x/4x first, then solve at
-            # 1x); warm starts (iterative-mode feedback) are already near
-            # the optimum and skip the graduation
-            scales = ([16.0, 4.0] if not warm else []) + [1.0] * rounds
+            # 1x); warm starts (iterative-mode feedback) skip the graduation
+            # but get a raw-seeded graduated retry, mirroring solve()'s
+            # "a warm start can sit in a worse basin" fallback
+            graduated = [16.0, 4.0] + [1.0] * rounds
+            scales = graduated if not warm else [1.0] * rounds
             seg_fns = {
                 sc: jax.jit(
                     jax.vmap(
@@ -466,7 +474,7 @@ def run_monte_carlo(
                         )
                     )
                 )
-                for sc in set(scales)
+                for sc in set(graduated)
             }
             solve_chunk = max(solve_chunk, min(batch, 64))
 
@@ -474,8 +482,15 @@ def run_monte_carlo(
                 p = sub.poses_sol if warm else sub.poses_init
                 l = sub.lms_sol if warm else sub.lms_init
                 for sc in scales:
-                    p, l, _ = seg_fns[sc](sub, p, l)
+                    p, l, e = seg_fns[sc](sub, p, l)
                     jax.block_until_ready(p)
+                if warm:
+                    pr, lr = sub.poses_init, sub.lms_init
+                    for sc in graduated:
+                        pr, lr, er = seg_fns[sc](sub, pr, lr)
+                        jax.block_until_ready(pr)
+                    take = (er < e)[:, None, None]
+                    p = jnp.where(take, pr, p)
                 return p
         else:
             # dense LM reference path: O((3T+2N)^3) per world, small chunks
@@ -496,11 +511,16 @@ def run_monte_carlo(
                 return solve_fn(sub)[0]
 
         err_pg = []
+        # graph nodes are 0..T-1: node 0 is the init pose and the LAST tick
+        # adds no node (it solves instead — pose_graph.cpp:208-214, mirrored
+        # by posegraph.update's live mask), so node t+1 pairs with the truth
+        # after tick t for t = 0..T-2. Including the never-created node T
+        # would add a bogus |final truth pose| term to every world's mean.
         for i in range(0, batch, solve_chunk):
             sub = jax.tree.map(lambda a: a[i: i + solve_chunk], final.primary)
             poses_sol = solve_sub(sub)
-            est = poses_sol[:, 1: t_total + 1, :2]
-            tr = true_poses[i: i + solve_chunk, :, :2]
+            est = poses_sol[:, 1: t_total, :2]
+            tr = true_poses[i: i + solve_chunk, : t_total - 1, :2]
             err_pg.append(
                 np.asarray(jnp.mean(jnp.linalg.norm(est - tr, axis=-1), axis=-1))
             )

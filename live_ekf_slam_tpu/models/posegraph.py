@@ -96,8 +96,13 @@ def update_naive_estimate(
         sec_idx[None, :] < secondary_m
     )  # (N_graph, N_sec)
     found = jnp.any(match, axis=1) & (slot_idx < s.M)
-    j = jnp.argmax(match, axis=1)
-    est = secondary_lms[j]  # (N_graph, 2)
+    # one-hot contraction, not secondary_lms[argmax(match)]: a batched
+    # gather under vmap is the scatter-class slowness this module avoids
+    # everywhere else (ids are unique, so each row of match has <=1 True;
+    # unmatched rows give 0 and are masked by `found`)
+    est = einsum32(
+        "ns,sd->nd", match.astype(jnp.float32), secondary_lms
+    )  # (N_graph, 2)
     lms_init = jnp.where(found[:, None], est, s.lms_init)
     lms_sol = jnp.where(found[:, None], est, s.lms_sol)
     return s.replace(lms_init=lms_init, lms_sol=lms_sol)

@@ -242,8 +242,12 @@ def _landmark_update(cfg, carry, r, b, li, wts, committed_yaw, true_map, w_diag,
     dev_x = x_pred_sig - x_pred[:, None]
     c = dot32(dev_x * wts[None, :], diff.T)  # (Du, 2)
 
-    det = ss[0, 0] * ss[1, 1] - ss[0, 1] * ss[1, 0]
-    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    det_raw = ss[0, 0] * ss[1, 1] - ss[0, 1] * ss[1, 0]
+    # the sanity gate below must see the RAW determinant — replacing an
+    # exactly-singular det with the 1.0 division sentinel before the gate
+    # would let an unscaled garbage gain through in the one case the guard
+    # exists for
+    det = jnp.where(jnp.abs(det_raw) > 0, det_raw, 1.0)
     s_inv = jnp.array([[ss[1, 1], -ss[0, 1]], [-ss[1, 0], ss[0, 0]]], jnp.float32) / det
     k = dot32(c, s_inv)  # (Du, 2)
 
@@ -258,7 +262,7 @@ def _landmark_update(cfg, carry, r, b, li, wts, committed_yaw, true_map, w_diag,
         r_gate = 2.0 * cfg.constraints.vision.range_max
         sane = (
             (jnp.abs(innov[0]) < r_gate)
-            & (det > 1e-12)
+            & (det_raw > 1e-12)
             & (ss[0, 0] > 0.0)
             & (ss[1, 1] > 0.0)
             & jnp.isfinite(innov[0])

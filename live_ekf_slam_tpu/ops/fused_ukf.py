@@ -415,8 +415,9 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                     c_r = cross_col(dr_p, dr_m, dr_c)
                     c_b = cross_col(db_p, db_m, db_c)
 
-                    det = s00 * s11 - s01 * s01
-                    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+                    det_raw = s00 * s11 - s01 * s01
+                    # gate on the RAW determinant (see models/ukf.py)
+                    det = jnp.where(jnp.abs(det_raw) > 0, det_raw, 1.0)
                     i00 = s11 / det
                     i01 = -s01 / det
                     i11 = s00 / det
@@ -428,7 +429,7 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                     # so a diverged world coasts instead of going NaN
                     sane = (
                         (jnp.abs(nu_r) < 2.0 * r_max)
-                        & (det > 1e-12)
+                        & (det_raw > 1e-12)
                         & (s00 > 0.0)
                         & (s11 > 0.0)
                     ).astype(jnp.float32)
