@@ -383,3 +383,24 @@ def test_async_frame_feed_roundtrip():
     np.testing.assert_allclose(fr.landmarks, lms, atol=1e-6)
     assert feed.pop_latest() is None
     feed.close()
+
+
+def test_async_viz_demo_headless():
+    """PlotterConfig.async_viz: producer-thread stepping + ring-buffer feed
+    drives the demo end-to-end headless with a finite metric."""
+    import dataclasses
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from live_ekf_slam_tpu import native
+    from live_ekf_slam_tpu import cli as C
+    from live_ekf_slam_tpu.config import Config, preset
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    cfg = preset("filter_demo_live", Config(num_iterations=30))
+    cfg = cfg.replace(plotter=dataclasses.replace(cfg.plotter, async_viz=True))
+    C.run_demo(cfg, seed=0, live=True)
