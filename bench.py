@@ -136,7 +136,11 @@ def main():
         try:
             t1 = time.perf_counter()
             err = run(0)
-            log(f"warmup (compile+run) {time.perf_counter()-t1:.1f}s")
+            log(
+                f"warmup (compile+run) {time.perf_counter()-t1:.1f}s "
+                "(includes remote Mosaic-compile queue wait, measured "
+                "14-435s for identical programs; docs/BENCHMARKS.md)"
+            )
 
             t0 = time.perf_counter()
             for rep in range(reps):
