@@ -189,17 +189,27 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
         errors: list[float] = []
         done = threading.Event()
 
+        producer_exc: list[BaseException] = []
+
         def producer():
-            c = carry
-            for t in range(cfg.num_iterations):
-                c, (tp, ep) = step(c, (cmds[t], keys[t]))
-                tp_, ep_ = np.asarray(tp), np.asarray(ep)
-                errors.append(float(np.linalg.norm(ep_[:2] - tp_[:2])))
-                fr = _frame_from_state(
-                    cfg, cfg.filter, c.primary, t + 1, tp_, ep_
-                )
-                feed.push(t + 1, tp_, ep_, fr.landmarks)
-            done.set()
+            # done.set() must fire even if the rollout raises (e.g. a JAX
+            # runtime error mid-run), or the render loop below spins forever
+            # waiting on a producer that already died; the exception is
+            # re-raised on the main thread after join
+            try:
+                c = carry
+                for t in range(cfg.num_iterations):
+                    c, (tp, ep) = step(c, (cmds[t], keys[t]))
+                    tp_, ep_ = np.asarray(tp), np.asarray(ep)
+                    errors.append(float(np.linalg.norm(ep_[:2] - tp_[:2])))
+                    fr = _frame_from_state(
+                        cfg, cfg.filter, c.primary, t + 1, tp_, ep_
+                    )
+                    feed.push(t + 1, tp_, ep_, fr.landmarks)
+            except BaseException as e:  # noqa: BLE001 - relayed to main
+                producer_exc.append(e)
+            finally:
+                done.set()
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -210,6 +220,9 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
                 continue
             viewer.update(frame)
         th.join()
+        if producer_exc:
+            feed.close()
+            raise producer_exc[0]
         # the metric covers every tick (producer-side), not just rendered ones
         viewer.errors = errors
         avg = viewer.finish(base_dir)

@@ -397,7 +397,6 @@ def run_monte_carlo(
             out = fused_ekf_rollout(
                 cfg, lms, cmds, seed, block_worlds=block_worlds
             )
-            diverged = ~np.isfinite(np.asarray(out["err_sum"]))
         else:
             from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout
 
@@ -405,14 +404,16 @@ def run_monte_carlo(
                 cfg, lms, cmds, seed, slam=(cfg.filter == "ukf_slam"),
                 block_worlds=block_worlds,
             )
-            # worlds where the divergence guard fired (ops/fused_ukf.py)
-            # a transiently-gated update is normal recoverable operation
+            # a transiently-gated UKF update is normal recoverable operation
             # (docs/BENCHMARKS.md: 21/512 worlds with any rejection, only 6
-            # above 1 m); mirror the XLA path's criterion — non-finite or
-            # implausibly far — instead of flagging every gated world.
-            # update_rejects stays available in `out` for reporting.
-            err_chk = np.asarray(out["err_sum"]) / cfg.num_iterations
-            diverged = ~np.isfinite(err_chk) | (err_chk > DIVERGENCE_RADIUS)
+            # above 1 m); update_rejects stays available in `out` for
+            # reporting but does not flag divergence by itself.
+        # same latch semantics as the XLA path's per-tick guard: a world is
+        # diverged once its INSTANTANEOUS error ever exceeded the radius
+        # (the kernels track the running max), not when the run mean does —
+        # so late-rollout divergence flags identically across impls
+        err_max = np.asarray(out["err_max"])
+        diverged = ~np.isfinite(err_max) | (err_max > DIVERGENCE_RADIUS)
         err = np.asarray(out["err_sum"]) / cfg.num_iterations
         results = {
             "err_" + cfg.filter: err,
@@ -457,37 +458,54 @@ def run_monte_carlo(
             # per-tick feedback in iterative mode (pose_graph.cpp:262-267).
             pgc = cfg.pose_graph
             seg_gn = 10
-            rounds = max(1, -(-pgc.bulk_gn_iters // seg_gn))
-            # graduated non-convexity for cold starts (models/posegraph.py
-            # solve(): relax measurement sigmas 16x/4x first, then solve at
-            # 1x); warm starts (iterative-mode feedback) skip the graduation
-            # but get a raw-seeded graduated retry, mirroring solve()'s
-            # "a warm start can sit in a worse basin" fallback
-            graduated = [16.0, 4.0] + [1.0] * rounds
-            scales = graduated if not warm else [1.0] * rounds
+            # identical schedule to posegraph.solve(): 16x/4x graduation
+            # stages of stage_gn iterations each, then a 1x stage of
+            # bulk_gn_iters — segmented into <=seg_gn-iteration device calls
+            # (TPU-tunnel watchdog) that sum to EXACTLY the same counts, so
+            # the MC path and the demo/finalize path converge to the same
+            # optima. meas_scale is a traced argument, so only the distinct
+            # segment LENGTHS compile.
+            stage_gn = max(8, pgc.bulk_gn_iters // 3)
+
+            def segs(total):
+                lens = [seg_gn] * (total // seg_gn)
+                if total % seg_gn:
+                    lens.append(total % seg_gn)
+                return lens
+
+            graduated = (
+                [(16.0, n) for n in segs(stage_gn)]
+                + [(4.0, n) for n in segs(stage_gn)]
+                + [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
+            )
+            schedule = (
+                [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
+                if warm else graduated
+            )
             seg_fns = {
-                sc: jax.jit(
+                n: jax.jit(
                     jax.vmap(
-                        lambda s, p, l, _sc=sc: posegraph.solve_schur_pcg(
-                            cfg, s, p, l, n_gn=seg_gn,
-                            n_cg=pgc.bulk_cg_iters, meas_scale=_sc,
-                        )
+                        lambda s, p, l, sc, _n=n: posegraph.solve_schur_pcg(
+                            cfg, s, p, l, n_gn=_n,
+                            n_cg=pgc.bulk_cg_iters, meas_scale=sc,
+                        ),
+                        in_axes=(0, 0, 0, None),
                     )
                 )
-                for sc in set(graduated)
+                for n in {n for _, n in graduated}
             }
             solve_chunk = max(solve_chunk, min(batch, 64))
 
             def solve_sub(sub):
                 p = sub.poses_sol if warm else sub.poses_init
                 l = sub.lms_sol if warm else sub.lms_init
-                for sc in scales:
-                    p, l, e = seg_fns[sc](sub, p, l)
+                for sc, n in schedule:
+                    p, l, e = seg_fns[n](sub, p, l, jnp.float32(sc))
                     jax.block_until_ready(p)
                 if warm:
                     pr, lr = sub.poses_init, sub.lms_init
-                    for sc in graduated:
-                        pr, lr, er = seg_fns[sc](sub, pr, lr)
+                    for sc, n in graduated:
+                        pr, lr, er = seg_fns[n](sub, pr, lr, jnp.float32(sc))
                         jax.block_until_ready(pr)
                     take = (er < e)[:, None, None]
                     p = jnp.where(take, pr, p)
@@ -511,6 +529,7 @@ def run_monte_carlo(
                 return solve_fn(sub)[0]
 
         err_pg = []
+        err_pg_init = []
         # graph nodes are 0..T-1: node 0 is the init pose and the LAST tick
         # adds no node (it solves instead — pose_graph.cpp:208-214, mirrored
         # by posegraph.update's live mask), so node t+1 pairs with the truth
@@ -524,10 +543,17 @@ def run_monte_carlo(
             err_pg.append(
                 np.asarray(jnp.mean(jnp.linalg.norm(est - tr, axis=-1), axis=-1))
             )
+            # MEASURED error of the actual seeded graph (the reference
+            # publishes /state/pose_graph/initial as its own metric,
+            # plotting_node.py:195-218 over the initial estimate): evaluate
+            # the node values the graph was seeded with (secondary poses at
+            # node-creation time), same alignment as the result metric.
+            est_i = sub.poses_init[:, 1: t_total, :2]
+            err_pg_init.append(
+                np.asarray(
+                    jnp.mean(jnp.linalg.norm(est_i - tr, axis=-1), axis=-1)
+                )
+            )
         results["err_pose_graph_result"] = np.concatenate(err_pg)
-        # "initial" graph = the secondary's trajectory; aligned metric equals
-        # the secondary filter error.
-        results["err_pose_graph_initial"] = results[
-            "err_" + cfg.pose_graph.filter_to_compare
-        ]
+        results["err_pose_graph_initial"] = np.concatenate(err_pg_init)
     return results, final, outs

@@ -174,7 +174,11 @@ def update(
         )
         ids = jnp.where(is_new & at_m, mid, ids)
         m = jnp.where(is_new, m + 1, m)
-        at_j = valid & (kidx == j)
+        # gate on insertability: a never-seen landmark arriving with the slot
+        # table full (m == n_cap) has idx == n_cap, and writing its row would
+        # make downstream clamped gathers (lms[s.meas_lm]) silently bind the
+        # factor to slot n_cap-1 — drop it instead (scatter paths already do)
+        at_j = valid & (found | is_new) & (kidx == j)
         row_rb = jnp.where(at_j[:, None], jnp.stack([r, b])[None, :], row_rb)
         row_lm = jnp.where(at_j, idx, row_lm)
         row_valid = row_valid | at_j

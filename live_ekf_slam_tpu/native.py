@@ -211,7 +211,17 @@ class JobScheduler:
             raise RuntimeError("sched_create failed")
         self._keepalive: list = []  # callbacks must outlive execution
 
+    # callbacks completed before this many submissions accumulate are
+    # reclaimed by an automatic drain (see submit)
+    _KEEPALIVE_LIMIT = 4096
+
     def submit(self, fn) -> None:
+        # bound the callback-keepalive list for callers that never call
+        # wait(): past the limit, drain the pool once (barrier) and reclaim —
+        # unbounded submit-only usage otherwise pins every ctypes callback
+        # until destruction
+        if len(self._keepalive) >= self._KEEPALIVE_LIMIT:
+            self.wait()
         cb = JOB_FN(lambda _arg: fn())
         self._keepalive.append(cb)
         if not self._lib.sched_submit(self._h, cb, None):
@@ -222,7 +232,11 @@ class JobScheduler:
         self._keepalive.clear()
 
     def close(self):
+        # drain before destroy: queued-but-unexecuted ctypes callbacks must
+        # run (or at least be retired) while their keepalive refs are valid
         if self._h:
+            self._lib.sched_wait(self._h)
+            self._keepalive.clear()
             self._lib.sched_destroy(self._h)
             self._h = 0
 

@@ -159,7 +159,9 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
             if profile_mode == "sim":
                 ex = x_ref[0:1, :] - stats_ref[1:2, :]
                 ey = x_ref[1:2, :] - stats_ref[2:3, :]
-                stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+                e = jnp.sqrt(ex * ex + ey * ey)
+                stats_ref[0:1, :] = stats_ref[0:1, :] + e
+                stats_ref[4:5, :] = jnp.maximum(stats_ref[4:5, :], e)
                 return 0
             th = x_ref[2:3, :]
             c = jnp.cos(th)
@@ -365,10 +367,15 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     )
                 seen_ref[j:j + 1, :] = jnp.maximum(seen_now[j:j + 1, :], visj)
 
-            # ---- error metric (plotting_node.py:195-218), online
+            # ---- error metric (plotting_node.py:195-218), online; row 4
+            # tracks the running per-world max so the host can latch
+            # divergence on instantaneous error like the XLA path does
+            # (eval/runner.py guard), not on the run mean
             ex = x_ref[0:1, :] - stats_ref[1:2, :]
             ey = x_ref[1:2, :] - stats_ref[2:3, :]
-            stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+            e = jnp.sqrt(ex * ex + ey * ey)
+            stats_ref[0:1, :] = stats_ref[0:1, :] + e
+            stats_ref[4:5, :] = jnp.maximum(stats_ref[4:5, :], e)
             return 0
 
         jax.lax.fori_loop(0, t_chunk, tick, 0)
@@ -459,6 +466,7 @@ def fused_ekf_rollout(
 
     return {
         "err_sum": stats[0],
+        "err_max": stats[4],
         "true_pose": jnp.transpose(stats[1:4], (1, 0)),
         "x": jnp.transpose(x_out, (1, 0))[:, :d],
         "P": jnp.transpose(p_out, (2, 0, 1))[:, :d, :d],
@@ -489,6 +497,7 @@ def fused_ekf_rollout_sharded(
 
     out_specs = {
         "err_sum": P(axis),
+        "err_max": P(axis),
         "true_pose": P(axis),
         "x": P(axis),
         "P": P(axis),

@@ -498,10 +498,14 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                         seen_ref[j:j + 1, :], visj
                     )
 
-            # ---- error metric (plotting_node.py:195-218)
+            # ---- error metric (plotting_node.py:195-218); row 5 tracks the
+            # running per-world max so the host can latch divergence on
+            # instantaneous error like the XLA path (eval/runner.py guard)
             ex = x_ref[0:1, :] - stats_ref[1:2, :]
             ey = x_ref[1:2, :] - stats_ref[2:3, :]
-            stats_ref[0:1, :] = stats_ref[0:1, :] + jnp.sqrt(ex * ex + ey * ey)
+            e = jnp.sqrt(ex * ex + ey * ey)
+            stats_ref[0:1, :] = stats_ref[0:1, :] + e
+            stats_ref[5:6, :] = jnp.maximum(stats_ref[5:6, :], e)
             return 0
 
         jax.lax.fori_loop(0, t_chunk, tick, 0)
@@ -588,6 +592,7 @@ def fused_ukf_rollout(
 
     return {
         "err_sum": stats[0],
+        "err_max": stats[5],
         "update_rejects": stats[4],  # divergence-guard rejections per world
         "true_pose": jnp.transpose(stats[1:4], (1, 0)),
         "x": jnp.transpose(x_out, (1, 0))[:, :du],

@@ -145,7 +145,8 @@ def main():
     # the XLA scan ----
     for filt, noise in (("naive", "high"), ("ekf_slam", "high"),
                         ("ukf_slam", "high"), ("ukf_loc", "high"),
-                        ("ekf_slam", "low"), ("naive", "low")):
+                        ("ekf_slam", "low"), ("naive", "low"),
+                        ("ukf_slam", "low"), ("ukf_loc", "low")):
         name = f"solo_{filt}_{noise}"
         if name in out["configs"]:
             continue
@@ -204,6 +205,12 @@ def main():
         cfgstats = {
             "secondary": robust_stats(
                 res["err_" + secondary], res["diverged_" + secondary]
+            ),
+            # MEASURED error of the seeded graph (runner evaluates the actual
+            # poses_init node values; the reference's pose_graph_init.csv)
+            "pgs_initial": robust_stats(
+                res["err_pose_graph_initial"],
+                res["diverged_" + secondary],
             ),
             "pgs_result": robust_stats(
                 res["err_pose_graph_result"],
