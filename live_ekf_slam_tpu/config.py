@@ -138,6 +138,14 @@ class PoseGraphConfig:
     solver: str = "schur"
     bulk_gn_iters: int = 50
     bulk_cg_iters: int = 40
+    # Exact GTSAM Pose2 between-factor residual — Logmap(measured^-1 *
+    # (pose_a^-1 pose_b)) with the V(theta)^-1 translation correction
+    # (pose_graph.cpp:222, GTSAM Pose2::Logmap) — instead of the SE(2)
+    # local-coordinates approximation. At reference step sizes
+    # (<= 0.1 m, 0.055 rad) the two differ below the noise floor
+    # (tests/test_posegraph.py quantifies the delta); off by default to keep
+    # the cheaper residual on the per-tick incremental path.
+    exact_logmap: bool = False
 
 
 @_freeze()

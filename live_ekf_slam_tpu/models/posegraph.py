@@ -25,10 +25,12 @@ factor Jacobians:
   * `solve_pcg_gn`: matrix-free Jacobi-PCG used incrementally per tick in
     solve_graph_every_iteration mode (warm starts only).
 
-Residual conventions use the SE(2) local-coordinates approximation of GTSAM's
-Logmap; per-step motions are <= (0.1 m, 0.055 rad) so the difference from the
-exact log map is far below the noise floor (validated against LM convergence in
-tests).
+Between-factor residuals default to the SE(2) local-coordinates approximation
+of GTSAM's Logmap; per-step motions are <= (0.1 m, 0.055 rad) so the
+difference from the exact log map is far below the noise floor.
+`PoseGraphConfig.exact_logmap` switches to the exact GTSAM Pose2 residual
+Logmap(measured^-1 (pa^-1 pb)) with the V(theta)^-1 translation correction
+(pose_graph.cpp:222); tests/test_posegraph.py quantifies the delta.
 """
 
 from __future__ import annotations
@@ -327,6 +329,24 @@ def _odom_moments(cfg: Config, odom):
     return eff, sig
 
 
+def _logmap_vinv(th):
+    """V(theta)^-1 of the SE(2) log map, as (a, b) with
+    V^-1 = [[a, b], [-b, a]] — small-angle-safe.
+
+    Pose2::Logmap(t, R(theta)) = (V^-1 t, theta) with
+    V = [[sin/th, -(1-cos)/th], [(1-cos)/th, sin/th]]; inverting the 2x2
+    rotation-scaled block gives a = A/(A^2+B^2), b = B/(A^2+B^2) for
+    A = sin(th)/th, B = (1-cos(th))/th (Taylor fallbacks below 1e-4)."""
+    small = jnp.abs(th) < 1e-4
+    th_safe = jnp.where(small, 1.0, th)
+    a = jnp.where(small, 1.0 - th * th / 6.0, jnp.sin(th) / th_safe)
+    b = jnp.where(
+        small, th / 2.0 - th ** 3 / 24.0, (1.0 - jnp.cos(th)) / th_safe
+    )
+    den = a * a + b * b
+    return a / den, b / den
+
+
 def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """All whitened residuals + masks, vectorized over factors."""
     odom_eff, odom_sig = _odom_moments(cfg, s.odom)
@@ -348,14 +368,37 @@ def _residuals(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     lx = ca * dx + sa * dy
     ly = -sa * dx + ca * dy
     lth = wrap_angle(pb[:, 2] - pa[:, 2])
-    r_odom = jnp.stack(
-        [
-            (lx - odom_eff[:, 0]) / odom_sig[:, 0],
-            (ly - 0.0) / odom_sig[:, 1],
-            wrap_angle(lth - odom_eff[:, 1]) / odom_sig[:, 2],
-        ],
-        axis=1,
-    )
+    if cfg.pose_graph.exact_logmap:
+        # GTSAM Pose2 between-factor error (pose_graph.cpp:222):
+        # Logmap(measured^-1 * (pa^-1 pb)) — compose with the inverse
+        # measured pose (eff_d, 0, eff_th), then apply the V^-1 translation
+        # correction of the exact SE(2) log map.
+        m_th = odom_eff[:, 1]
+        cm, sm = jnp.cos(m_th), jnp.sin(m_th)
+        ex_ = lx - odom_eff[:, 0]
+        ey_ = ly  # measured y component is 0
+        rx = cm * ex_ + sm * ey_
+        ry = -sm * ex_ + cm * ey_
+        rth = wrap_angle(lth - m_th)
+        va, vb = _logmap_vinv(rth)
+        r_odom = jnp.stack(
+            [
+                (va * rx + vb * ry) / odom_sig[:, 0],
+                (-vb * rx + va * ry) / odom_sig[:, 1],
+                rth / odom_sig[:, 2],
+            ],
+            axis=1,
+        )
+    else:
+        # local-coordinates approximation (difference in pose-a frame)
+        r_odom = jnp.stack(
+            [
+                (lx - odom_eff[:, 0]) / odom_sig[:, 0],
+                (ly - 0.0) / odom_sig[:, 1],
+                wrap_angle(lth - odom_eff[:, 1]) / odom_sig[:, 2],
+            ],
+            axis=1,
+        )
     r_odom = jnp.where(s.odom_valid[:, None], r_odom, 0.0)
 
     # bearing-range factors: measurement at row t attaches to pose t+1
@@ -391,7 +434,7 @@ def graph_error(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
 def _jacobians(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     """Whitened factor Jacobians + residuals, shared by the dense assembler
     and the matrix-free PCG solver."""
-    _, odom_sig = _odom_moments(cfg, s.odom)
+    odom_eff, odom_sig = _odom_moments(cfg, s.odom)
     _, meas_s = _noise_sigmas(cfg, meas_scale)
     prior_s = _prior_sigmas(cfg)
 
@@ -423,6 +466,30 @@ def _jacobians(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
         ],
         axis=1,
     )
+    if cfg.pose_graph.exact_logmap:
+        # exact-residual translation rows pick up the constant factor
+        # M2 = V^-1(rel_th) R(-m_th) (see _residuals); the d(V^-1)/d(th)
+        # terms are proportional to the residual itself and are dropped, the
+        # standard Gauss-Newton small-residual approximation (GTSAM keeps
+        # them; at <=0.055 rad steps they are O(residual * th) ~ 1e-5)
+        m_th = odom_eff[:, 1]
+        cm, sm = jnp.cos(m_th), jnp.sin(m_th)
+        lth = wrap_angle(poses[1:, 2] - pa[:, 2])
+        rth = wrap_angle(lth - m_th)
+        va, vb = _logmap_vinv(rth)
+        m00 = va * cm - vb * sm
+        m01 = va * sm + vb * cm
+        m10 = -vb * cm - va * sm
+        m11 = -vb * sm + va * cm
+        m2 = jnp.stack(
+            [
+                jnp.stack([m00, m01], axis=-1),
+                jnp.stack([m10, m11], axis=-1),
+            ],
+            axis=1,
+        )  # (T, 2, 2)
+        ja = ja.at[:, :2, :].set(einsum32("tpq,tqi->tpi", m2, ja[:, :2, :]))
+        jb = jb.at[:, :2, :].set(einsum32("tpq,tqi->tpi", m2, jb[:, :2, :]))
     inv_od = 1.0 / odom_sig  # (T, 3) per-tick whitening (clip-aware)
     mask_od = s.odom_valid.astype(jnp.float32)[:, None, None]
     ja = ja * inv_od[:, :, None] * mask_od

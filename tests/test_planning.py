@@ -186,3 +186,39 @@ def test_native_planner_matches_python_oracle():
         else:
             assert native_cells is not None
             assert len(native_cells) == len(py_cells)
+
+
+def test_rrt_finds_collision_free_path():
+    """RRT (planning/rrt.py, superseding the reference's broken stub
+    rrt.py:21-50): a seeded tree grows to the goal and every waypoint is
+    collision-free on a wall-with-gap occupancy grid."""
+    from live_ekf_slam_tpu.planning.host import tf_ekf_to_map
+    from live_ekf_slam_tpu.planning.rrt import RRT
+
+    cfg = Config()
+    s = cfg.map.occ_map_size
+    occ = np.ones((s, s), np.float32)
+    # vertical wall through map center (grid column range covering x ~ 0)
+    # with a gap so a path exists; occ == 0 means occupied
+    wall_j = s // 2
+    occ[:, wall_j - 1: wall_j + 2] = 0.0
+    occ[60:90, wall_j - 1: wall_j + 2] = 1.0  # the gap
+
+    start = (-4.0, 0.0, 0.0)
+    goal = (4.0, 0.0)
+    rrt = RRT(start[0], start[1], start[2], cfg, occ_map=occ)
+    path = rrt.find_path(*goal, max_iters=20000, goal_tol=0.4)
+    assert path is not None, "RRT failed to reach the goal"
+    # starts at the root, ends within tolerance of the goal
+    assert math.hypot(path[0][0] - start[0], path[0][1] - start[1]) < 1e-9
+    assert math.hypot(path[-1][0] - goal[0], path[-1][1] - goal[1]) < 0.4
+    # every waypoint is in free space
+    for (x, y) in path:
+        i, j = tf_ekf_to_map(cfg, (x, y))
+        assert 0 <= i < s and 0 <= j < s
+        assert occ[i][j] == 1.0, f"waypoint ({x:.2f},{y:.2f}) in collision"
+    # consecutive waypoints respect the unicycle step bound (10 sub-steps of
+    # d_max per extension)
+    d_max = cfg.constraints.commands.d_max
+    for (xa, ya), (xb, yb) in zip(path[:-1], path[1:]):
+        assert math.hypot(xb - xa, yb - ya) <= 10 * d_max + 1e-6
