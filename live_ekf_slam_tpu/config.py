@@ -138,6 +138,14 @@ class PoseGraphConfig:
     solver: str = "schur"
     bulk_gn_iters: int = 50
     bulk_cg_iters: int = 40
+    # Cold-start initialization for solve(): "secondary" seeds from the
+    # secondary filter's node values (pose_graph.cpp:97-118, the reference
+    # behavior); "chordal" rebuilds the initial iterate from the factors
+    # alone (chain rotation averaging + linear position LS,
+    # models/posegraph.py chordal_init) — the TPU-native analog of the
+    # reference's hard-disabled SE-Sync path (pose_graph.cpp:31-63), robust
+    # to arbitrary node seeding.
+    init: str = "secondary"
     # Exact GTSAM Pose2 between-factor residual — Logmap(measured^-1 *
     # (pose_a^-1 pose_b)) with the V(theta)^-1 translation correction
     # (pose_graph.cpp:222, GTSAM Pose2::Logmap) — instead of the SE(2)

@@ -701,6 +701,63 @@ def _assemble(cfg: Config, s: PoseGraphState, poses, lms, meas_scale=1.0):
     return h, g, var_active
 
 
+def chordal_init(cfg: Config, s: PoseGraphState):
+    """Chordal-style initialization from the FACTORS alone — the TPU-native
+    analog of the reference's (hard-disabled) SE-Sync/chordal path
+    (pose_graph.cpp:31-63): no dependence on the secondary filter's seeded
+    node values, so the solve is robust to arbitrary/adversarial seeding.
+
+    1. Rotations: the graph's only rotation-coupling factors are the odometry
+       between-factors, which form a chain — so linear rotation averaging is
+       EXACT and reduces to integrating the (clip-aware) expected headings
+       from the anchored pose 0.
+    2. Translations + landmarks: with rotations fixed, every residual is
+       linear in the remaining variables; positions are dead-reckoned, each
+       landmark seeds at the mean of its measurement back-projections, then a
+       fixed-rotation Schur-PCG pass (fix_theta) solves the linear LS to
+       convergence. Both steps are O(T) and vmap over worlds.
+
+    Returns (poses0, lms0) for solve().
+    """
+    eff, _ = _odom_moments(cfg, s.odom)
+    p0 = s.poses_init[0]
+    dth = jnp.where(s.odom_valid, eff[:, 1], 0.0)
+    th = jnp.concatenate([p0[2][None], p0[2] + jnp.cumsum(dth)])  # (T+1,)
+    d_eff = jnp.where(s.odom_valid, eff[:, 0], 0.0)
+    px = p0[0] + jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), jnp.cumsum(d_eff * jnp.cos(th[:-1]))]
+    )
+    py = p0[1] + jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), jnp.cumsum(d_eff * jnp.sin(th[:-1]))]
+    )
+    poses = jnp.stack([px, py, wrap_angle(th)], axis=1)
+
+    # landmark seeds: masked mean of all back-projections through the
+    # dead-reckoned trajectory (measurement at row t attaches to pose t+1)
+    pt = poses[1:]
+    gx = pt[:, 0:1] + s.meas_rb[..., 0] * jnp.cos(
+        pt[:, 2:3] + s.meas_rb[..., 1]
+    )  # (T, K)
+    gy = pt[:, 1:2] + s.meas_rb[..., 0] * jnp.sin(
+        pt[:, 2:3] + s.meas_rb[..., 1]
+    )
+    valid = s.meas_valid.astype(jnp.float32)
+    n_cap = s.lms_init.shape[0]
+    flat = s.meas_lm.reshape(-1)
+    wsum = jnp.zeros(n_cap, jnp.float32).at[flat].add(valid.reshape(-1))
+    sx = jnp.zeros(n_cap, jnp.float32).at[flat].add((gx * valid).reshape(-1))
+    sy = jnp.zeros(n_cap, jnp.float32).at[flat].add((gy * valid).reshape(-1))
+    lms = jnp.stack([sx, sy], axis=1) / jnp.maximum(wsum, 1.0)[:, None]
+
+    # linear LS polish at fixed rotations (2 GN steps: the problem is linear,
+    # the second step only mops up CG truncation)
+    poses, lms, _ = solve_schur_pcg(
+        cfg, s, poses, lms, n_gn=2,
+        n_cg=max(cfg.pose_graph.bulk_cg_iters, 40), fix_theta=True,
+    )
+    return poses, lms
+
+
 def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     """Full graph optimization (pose_graph.cpp:283-284). Returns
     (poses, lms, final_error).
@@ -714,8 +771,11 @@ def solve(cfg: Config, s: PoseGraphState, poses0=None, lms0=None):
     if cfg.pose_graph.solver == "dense":
         return solve_dense(cfg, s, poses0, lms0)
     pg = cfg.pose_graph
-    poses0_ = s.poses_init if poses0 is None else poses0
-    lms0_ = s.lms_init if lms0 is None else lms0
+    if poses0 is None and pg.init == "chordal":
+        poses0_, lms0_ = chordal_init(cfg, s)
+    else:
+        poses0_ = s.poses_init if poses0 is None else poses0
+        lms0_ = s.lms_init if lms0 is None else lms0
     # graduated non-convexity for cold starts (same 16x/4x/1x schedule as
     # solve_dense): tight bearing sigmas — razor-sharp at the low-noise
     # profile (~1.8e-4 rad) — create contorted local minima when GN starts
@@ -1064,7 +1124,7 @@ def _hpl_apply(s: PoseGraphState, coeffs, vl):
 def solve_schur_pcg(
     cfg: Config, s: PoseGraphState, poses, lms,
     n_gn: int = 8, n_cg: int = 12, damping: float = 1e-4,
-    meas_scale: float = 1.0,
+    meas_scale: float = 1.0, fix_theta: bool = False,
 ):
     """Bulk GN solver: eliminate landmarks by Schur complement, solve the
     reduced pose system with CG preconditioned by its EXACT block-tridiagonal
@@ -1093,8 +1153,23 @@ def solve_schur_pcg(
         poses, lms, err, lam = carry
         jac = _jacobians(cfg, s, poses, lms, meas_scale)
         coeffs, r_meas = _meas_coeffs(cfg, s, poses, lms, meas_scale)
+        if fix_theta:
+            # freeze the heading variables (chordal init's linear position
+            # solve): zero every theta column so H's theta block vanishes
+            # (re-pinned to identity below) and delta_theta stays exactly 0
+            jac = dict(
+                jac,
+                ja=jac["ja"].at[:, :, 2].set(0.0),
+                jb=jac["jb"].at[:, :, 2].set(0.0),
+            )
+            ab_, bb_, cb_, ar_, br_ = coeffs
+            coeffs = (ab_, bb_, jnp.zeros_like(cb_), ar_, br_)
         gp, gl = _grad(cfg, s, jac, coeffs, r_meas)
+        if fix_theta:
+            gp = gp.at[:, 2].set(0.0)
         d, u, p_active = _pose_blocks(cfg, s, jac, coeffs, lam)
+        if fix_theta:
+            d = d.at[:, 2, 2].add(1.0)
         fac = _tridiag_factor(d, u)
         hll_inv, l_active = _lm_hessian_inv(cfg, s, jac, coeffs, lam)
         gp = gp * p_active[:, None]

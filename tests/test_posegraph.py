@@ -374,3 +374,64 @@ def test_exact_logmap_delta_below_noise_floor():
     px, lx_, ex_ = posegraph.solve(cfg_x, s)
     dpos = float(jnp.max(jnp.linalg.norm(pa[:, :2] - px[:, :2], axis=-1)))
     assert dpos < 2e-3, f"exact vs approx solved trajectories differ {dpos} m"
+
+
+def test_chordal_init_survives_adversarial_seeding():
+    """PoseGraphConfig.init='chordal' (the SE-Sync analog,
+    pose_graph.cpp:31-63): rebuilds the initial iterate from the factors
+    alone. With adversarially-garbage node seeds at the low-noise profile
+    (razor-thin bearing sigmas), graduated GNC from the seeds gets trapped
+    in a contorted minimum while chordal init converges to the clean-init
+    optimum."""
+    import dataclasses
+
+    T = 200
+    cfg = Config(num_iterations=T).replace(
+        filter="pose_graph", num_landmark_slots=12, num_meas_slots=12
+    )
+    cfg = cfg.replace(
+        map=cfg.map.__class__(num_landmarks=12),
+        process_noise=cfg.process_noise.__class__(
+            V_00=0.0004, V_11=7.615435494667714e-05
+        ),
+        sensing_noise=cfg.sensing_noise.__class__(
+            W_00=0.01, W_11=0.00030461741978670857
+        ),
+    )
+    _, final, outs = run_monte_carlo(
+        cfg, jax.random.PRNGKey(0), batch=1, seed=0, collect="poses"
+    )
+    s = jax.tree.map(lambda a: a[0], final.primary)
+    true_poses = np.asarray(outs[0][0])
+
+    rng = np.random.default_rng(7)
+    garbage = rng.uniform(
+        -10, 10, size=(s.poses_init.shape[0], 3)
+    ).astype(np.float32)
+    garbage[:, 2] = rng.uniform(-np.pi, np.pi, size=s.poses_init.shape[0])
+    garbage[0] = np.asarray(s.poses_init[0])  # anchor stays honest
+    lm_garbage = rng.uniform(-10, 10, size=s.lms_init.shape).astype(np.float32)
+    s_bad = s.replace(
+        poses_init=jnp.asarray(garbage), lms_init=jnp.asarray(lm_garbage)
+    )
+
+    def traj_err(poses):
+        est = np.asarray(poses)[1:T, :2]
+        return float(
+            np.mean(np.linalg.norm(est - true_poses[: T - 1, :2], axis=-1))
+        )
+
+    p_sec, _, e_sec = posegraph.solve(cfg, s_bad)
+    cfg_ch = cfg.replace(
+        pose_graph=dataclasses.replace(cfg.pose_graph, init="chordal")
+    )
+    p_ch, _, e_ch = posegraph.solve(cfg_ch, s_bad)
+    p_ok, _, e_ok = posegraph.solve(cfg, s)
+
+    assert traj_err(p_sec) > 0.1, (
+        "expected graduated GNC to fail from garbage seeds "
+        f"(got {traj_err(p_sec)} m) — the adversarial premise broke"
+    )
+    assert traj_err(p_ch) < 0.01, f"chordal init failed: {traj_err(p_ch)} m"
+    # chordal reaches (at least) the clean-init basin
+    assert float(e_ch) <= float(e_ok) * 1.01 + 1e-3
