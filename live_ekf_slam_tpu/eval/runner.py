@@ -361,22 +361,7 @@ def run_monte_carlo(
     (ops/fused_rollout.py) — the TPU fast path; requires filter == "ekf_slam",
     known landmark ids, collect == "sums", and batch % block_worlds == 0.
     """
-    rng = np.random.default_rng(seed)
-    if cfg.landmark_map in ("random", "rand"):
-        # occupancy-aware rejection (sim_node.py:177-188): random landmarks
-        # never land on obstacles of the configured occupancy map
-        occ, _ = sim_maps.load_occ_map(cfg)
-        lms = sim_maps.random_landmarks_batched(cfg, rng, batch, occ=occ)
-    else:
-        single, n_active = sim_maps.make_landmarks(cfg, rng)
-        # fixed maps (demo/grid/igvc1) set their own landmark count
-        # (sim_node.py:165,176,192); grow the slot capacities to match
-        if n_active != cfg.num_landmark_slots:
-            cfg = cfg.replace(
-                num_landmark_slots=n_active, num_meas_slots=n_active
-            )
-        lms = np.broadcast_to(single[None], (batch,) + single.shape).copy()
-    lms = jnp.asarray(lms)
+    cfg, lms = _gen_maps(cfg, np.random.default_rng(seed), batch)
     keys = jax.random.split(key, batch)
 
     if impl == "fused":
@@ -450,110 +435,266 @@ def run_monte_carlo(
         if collect != "poses":
             raise ValueError("pose_graph runs need collect='poses' for metrics")
         true_poses = outs[0]  # (B, T, 3)
-        warm = cfg.pose_graph.solve_graph_every_iteration
-        if cfg.pose_graph.solver == "schur":
-            # O(T)-per-iteration Schur/block-Thomas PCG-GN: big chunks, GN
-            # iterations segmented across device calls so no single call can
-            # trip the TPU tunnel's ~60 s watchdog. Warm-started from the
-            # per-tick feedback in iterative mode (pose_graph.cpp:262-267).
-            pgc = cfg.pose_graph
-            seg_gn = 10
-            # identical schedule to posegraph.solve(): 16x/4x graduation
-            # stages of stage_gn iterations each, then a 1x stage of
-            # bulk_gn_iters — segmented into <=seg_gn-iteration device calls
-            # (TPU-tunnel watchdog) that sum to EXACTLY the same counts, so
-            # the MC path and the demo/finalize path converge to the same
-            # optima. meas_scale is a traced argument, so only the distinct
-            # segment LENGTHS compile.
-            stage_gn = max(8, pgc.bulk_gn_iters // 3)
-
-            def segs(total):
-                lens = [seg_gn] * (total // seg_gn)
-                if total % seg_gn:
-                    lens.append(total % seg_gn)
-                return lens
-
-            graduated = (
-                [(16.0, n) for n in segs(stage_gn)]
-                + [(4.0, n) for n in segs(stage_gn)]
-                + [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
-            )
-            schedule = (
-                [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
-                if warm else graduated
-            )
-            seg_fns = {
-                n: jax.jit(
-                    jax.vmap(
-                        lambda s, p, l, sc, _n=n: posegraph.solve_schur_pcg(
-                            cfg, s, p, l, n_gn=_n,
-                            n_cg=pgc.bulk_cg_iters, meas_scale=sc,
-                        ),
-                        in_axes=(0, 0, 0, None),
-                    )
-                )
-                for n in {n for _, n in graduated}
-            }
-            solve_chunk = max(solve_chunk, min(batch, 64))
-
-            def solve_sub(sub):
-                p = sub.poses_sol if warm else sub.poses_init
-                l = sub.lms_sol if warm else sub.lms_init
-                for sc, n in schedule:
-                    p, l, e = seg_fns[n](sub, p, l, jnp.float32(sc))
-                    jax.block_until_ready(p)
-                if warm:
-                    pr, lr = sub.poses_init, sub.lms_init
-                    for sc, n in graduated:
-                        pr, lr, er = seg_fns[n](sub, pr, lr, jnp.float32(sc))
-                        jax.block_until_ready(pr)
-                    take = (er < e)[:, None, None]
-                    p = jnp.where(take, pr, p)
-                return p
-        else:
-            # dense LM reference path: O((3T+2N)^3) per world, small chunks
-            if warm:
-                solve_fn = jax.jit(
-                    jax.vmap(
-                        lambda s: posegraph.solve(
-                            cfg, s, poses0=s.poses_sol, lms0=s.lms_sol
-                        )[:2]
-                    )
-                )
-            else:
-                solve_fn = jax.jit(
-                    jax.vmap(lambda s: posegraph.solve(cfg, s)[:2])
-                )
-
-            def solve_sub(sub):
-                return solve_fn(sub)[0]
-
-        err_pg = []
-        err_pg_init = []
-        # graph nodes are 0..T-1: node 0 is the init pose and the LAST tick
-        # adds no node (it solves instead — pose_graph.cpp:208-214, mirrored
-        # by posegraph.update's live mask), so node t+1 pairs with the truth
-        # after tick t for t = 0..T-2. Including the never-created node T
-        # would add a bogus |final truth pose| term to every world's mean.
-        for i in range(0, batch, solve_chunk):
-            sub = jax.tree.map(lambda a: a[i: i + solve_chunk], final.primary)
-            poses_sol = solve_sub(sub)
-            est = poses_sol[:, 1: t_total, :2]
-            tr = true_poses[i: i + solve_chunk, : t_total - 1, :2]
-            err_pg.append(
-                np.asarray(jnp.mean(jnp.linalg.norm(est - tr, axis=-1), axis=-1))
-            )
-            # MEASURED error of the actual seeded graph (the reference
-            # publishes /state/pose_graph/initial as its own metric,
-            # plotting_node.py:195-218 over the initial estimate): evaluate
-            # the node values the graph was seeded with (secondary poses at
-            # node-creation time), same alignment as the result metric.
-            est_i = sub.poses_init[:, 1: t_total, :2]
-            err_pg_init.append(
-                np.asarray(
-                    jnp.mean(jnp.linalg.norm(est_i - tr, axis=-1), axis=-1)
-                )
-            )
-        results["err_pose_graph_result"] = np.concatenate(err_pg)
-        results["err_pose_graph_initial"] = np.concatenate(err_pg_init)
+        err_pg, err_pg_init = _pg_bulk_solve(
+            cfg, final.primary, true_poses, batch, solve_chunk
+        )
+        results["err_pose_graph_result"] = err_pg
+        results["err_pose_graph_initial"] = err_pg_init
     return results, final, outs
+
+
+def _gen_maps(cfg: Config, rng, batch):
+    """Per-world landmark maps for a Monte-Carlo run; returns (cfg, (B, N, 2))
+    with capacities grown to fixed maps' landmark counts."""
+    if cfg.landmark_map in ("random", "rand"):
+        # occupancy-aware rejection (sim_node.py:177-188): random landmarks
+        # never land on obstacles of the configured occupancy map
+        occ, _ = sim_maps.load_occ_map(cfg)
+        lms = sim_maps.random_landmarks_batched(cfg, rng, batch, occ=occ)
+    else:
+        single, n_active = sim_maps.make_landmarks(cfg, rng)
+        # fixed maps (demo/grid/igvc1) set their own landmark count
+        # (sim_node.py:165,176,192); grow the slot capacities to match
+        if n_active != cfg.num_landmark_slots:
+            cfg = cfg.replace(
+                num_landmark_slots=n_active, num_meas_slots=n_active
+            )
+        lms = np.broadcast_to(single[None], (batch,) + single.shape).copy()
+    return cfg, jnp.asarray(lms)
+
+
+def run_monte_carlo_pg_streams(
+    cfg: Config,
+    key,
+    batch: int,
+    seed: int = 0,
+    solve_chunk: int = 8,
+    world_chunk: int = 256,
+    block_worlds: int = 256,
+    interpret: bool | None = None,
+):
+    """Fast pose-graph Monte Carlo: closed-form sim streams + vectorized graph
+    assembly + bulk solve — no per-tick accumulation scan.
+
+    The scan path (run_monte_carlo) tops out at ~1.8k steps/s/world because
+    graph accumulation and the secondary filter ride a launch-overhead-bound
+    per-tick XLA step. Here the simulator and the naive secondary are
+    closed-form cumsums (sim/streams.py), the EKF secondary runs in the fused
+    Pallas kernel with the SAME injected noise draws (ops/fused_rollout.py
+    emit_traj), and posegraph.assemble_streams builds every graph tensor in
+    O(T*N) vector ops (parity-tested against the update() scan). Supports
+    one-time solve mode (solve_graph_every_iteration=False) with naive or
+    ekf_slam secondary; the scan path remains the reference implementation
+    and carries iterative mode.
+
+    Returns the same results dict shape as run_monte_carlo.
+    """
+    if cfg.filter != "pose_graph":
+        raise ValueError("run_monte_carlo_pg_streams requires filter=pose_graph")
+    if cfg.pose_graph.solve_graph_every_iteration:
+        raise ValueError(
+            "streams path supports one-time solve mode only "
+            "(solve_graph_every_iteration=false); use run_monte_carlo for "
+            "the per-tick iterative mode"
+        )
+    if cfg.pose_graph.update_landmarks_after_adding:
+        raise ValueError(
+            "streams path does not support update_landmarks_after_adding"
+        )
+    secondary = cfg.pose_graph.filter_to_compare
+    if secondary not in ("naive", "ekf_slam"):
+        raise ValueError(f"streams path supports naive/ekf_slam secondary, got {secondary}")
+
+    from live_ekf_slam_tpu.sim.streams import naive_deadreckon, sim_streams
+
+    cfg, lms_all = _gen_maps(cfg, np.random.default_rng(seed), batch)
+    keys = jax.random.split(key, batch)
+    n_active = cfg.num_landmark_slots
+
+    @jax.jit
+    def gen_chunk(lms_c, keys_c):
+        def one(l, k):
+            k_traj, k_roll = jax.random.split(k)
+            if cfg.precompute_trajectory:
+                cmds = generate_trajectory(cfg, l, n_active, k_traj)
+            else:
+                cmds = jnp.zeros((cfg.num_iterations, 2), jnp.float32)
+            st = sim_streams(cfg, l, n_active, cmds, k_roll)
+            return cmds, st
+
+        return jax.vmap(one)(lms_c, keys_c)
+
+    @jax.jit
+    def assemble_chunk(est_c, st_c, cmds_c):
+        graphs = jax.vmap(
+            lambda e, r, b, v, c: posegraph.assemble_streams(
+                cfg, e, r, b, v, c
+            )
+        )(est_c, st_c["r"], st_c["b"], st_c["vis"], cmds_c)
+        # secondary metric (plotting_node.py:195-218) + divergence latch,
+        # same semantics as the scan path's per-tick guard
+        d = jnp.linalg.norm(
+            est_c[:, :, :2] - st_c["poses_true"][:, :, :2], axis=-1
+        )
+        return graphs, jnp.mean(d, axis=1), jnp.max(d, axis=1)
+
+    graphs_parts, err_sec_parts, max_sec_parts, true_parts = [], [], [], []
+    for i in range(0, batch, world_chunk):
+        lms_c = lms_all[i: i + world_chunk]
+        keys_c = keys[i: i + world_chunk]
+        cmds_c, st_c = gen_chunk(lms_c, keys_c)
+        if secondary == "naive":
+            est_c = jax.jit(jax.vmap(lambda c: naive_deadreckon(cfg, c)))(
+                cmds_c
+            )
+        else:
+            from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
+
+            if interpret is None:
+                # Mosaic kernels need interpret mode off-TPU (CPU tests)
+                interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            bw = min(block_worlds, lms_c.shape[0])
+            out = fused_ekf_rollout(
+                cfg, lms_c, cmds_c, seed, block_worlds=bw,
+                noise=jnp.transpose(st_c["noise_u"], (1, 2, 0)),
+                emit_traj=True, interpret=interpret,
+            )
+            est_c = out["est_traj"]
+        graphs_c, err_sec_c, max_sec_c = assemble_chunk(est_c, st_c, cmds_c)
+        graphs_parts.append(jax.tree.map(np.asarray, graphs_c))
+        err_sec_parts.append(np.asarray(err_sec_c))
+        max_sec_parts.append(np.asarray(max_sec_c))
+        true_parts.append(np.asarray(st_c["poses_true"]))
+
+    graphs = jax.tree.map(
+        lambda *xs: jnp.asarray(np.concatenate(xs)), *graphs_parts
+    )
+    err_sec = np.concatenate(err_sec_parts)
+    max_sec = np.concatenate(max_sec_parts)
+    true_poses = jnp.asarray(np.concatenate(true_parts))
+
+    results = {
+        "err_" + secondary: err_sec,
+        "diverged_" + secondary: ~np.isfinite(max_sec)
+        | (max_sec > DIVERGENCE_RADIUS),
+    }
+    err_pg, err_pg_init = _pg_bulk_solve(
+        cfg, graphs, true_poses, batch, solve_chunk
+    )
+    results["err_pose_graph_result"] = err_pg
+    results["err_pose_graph_initial"] = err_pg_init
+    results["err_pose_graph"] = err_pg
+    results["diverged_pose_graph"] = results["diverged_" + secondary]
+    return results, graphs, true_poses
+
+
+def _pg_bulk_solve(cfg: Config, primary, true_poses, batch, solve_chunk=8):
+    """Final bulk solve + metrics over a batched PoseGraphState (shared by
+    the scan-accumulated and streams-assembled paths). Returns per-world
+    (err_pose_graph_result, err_pose_graph_initial) arrays."""
+    t_total = cfg.num_iterations
+    warm = cfg.pose_graph.solve_graph_every_iteration
+    if cfg.pose_graph.solver == "schur":
+        # O(T)-per-iteration Schur/block-Thomas PCG-GN: big chunks, GN
+        # iterations segmented across device calls so no single call can
+        # trip the TPU tunnel's ~60 s watchdog. Warm-started from the
+        # per-tick feedback in iterative mode (pose_graph.cpp:262-267).
+        pgc = cfg.pose_graph
+        seg_gn = 10
+        # identical schedule to posegraph.solve(): 16x/4x graduation
+        # stages of stage_gn iterations each, then a 1x stage of
+        # bulk_gn_iters — segmented into <=seg_gn-iteration device calls
+        # (TPU-tunnel watchdog) that sum to EXACTLY the same counts, so
+        # the MC path and the demo/finalize path converge to the same
+        # optima. meas_scale is a traced argument, so only the distinct
+        # segment LENGTHS compile.
+        stage_gn = max(8, pgc.bulk_gn_iters // 3)
+
+        def segs(total):
+            lens = [seg_gn] * (total // seg_gn)
+            if total % seg_gn:
+                lens.append(total % seg_gn)
+            return lens
+
+        graduated = (
+            [(16.0, n) for n in segs(stage_gn)]
+            + [(4.0, n) for n in segs(stage_gn)]
+            + [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
+        )
+        schedule = (
+            [(1.0, n) for n in segs(pgc.bulk_gn_iters)]
+            if warm else graduated
+        )
+        seg_fns = {
+            n: jax.jit(
+                jax.vmap(
+                    lambda s, p, l, sc, _n=n: posegraph.solve_schur_pcg(
+                        cfg, s, p, l, n_gn=_n,
+                        n_cg=pgc.bulk_cg_iters, meas_scale=sc,
+                    ),
+                    in_axes=(0, 0, 0, None),
+                )
+            )
+            for n in {n for _, n in graduated}
+        }
+        solve_chunk = max(solve_chunk, min(batch, 64))
+
+        def solve_sub(sub):
+            p = sub.poses_sol if warm else sub.poses_init
+            l = sub.lms_sol if warm else sub.lms_init
+            for sc, n in schedule:
+                p, l, e = seg_fns[n](sub, p, l, jnp.float32(sc))
+                jax.block_until_ready(p)
+            if warm:
+                pr, lr = sub.poses_init, sub.lms_init
+                for sc, n in graduated:
+                    pr, lr, er = seg_fns[n](sub, pr, lr, jnp.float32(sc))
+                    jax.block_until_ready(pr)
+                take = (er < e)[:, None, None]
+                p = jnp.where(take, pr, p)
+            return p
+    else:
+        # dense LM reference path: O((3T+2N)^3) per world, small chunks
+        if warm:
+            solve_fn = jax.jit(
+                jax.vmap(
+                    lambda s: posegraph.solve(
+                        cfg, s, poses0=s.poses_sol, lms0=s.lms_sol
+                    )[:2]
+                )
+            )
+        else:
+            solve_fn = jax.jit(
+                jax.vmap(lambda s: posegraph.solve(cfg, s)[:2])
+            )
+
+        def solve_sub(sub):
+            return solve_fn(sub)[0]
+
+    err_pg = []
+    err_pg_init = []
+    # graph nodes are 0..T-1: node 0 is the init pose and the LAST tick
+    # adds no node (it solves instead — pose_graph.cpp:208-214, mirrored
+    # by posegraph.update's live mask), so node t+1 pairs with the truth
+    # after tick t for t = 0..T-2. Including the never-created node T
+    # would add a bogus |final truth pose| term to every world's mean.
+    for i in range(0, batch, solve_chunk):
+        sub = jax.tree.map(lambda a: a[i: i + solve_chunk], primary)
+        poses_sol = solve_sub(sub)
+        est = poses_sol[:, 1: t_total, :2]
+        tr = true_poses[i: i + solve_chunk, : t_total - 1, :2]
+        err_pg.append(
+            np.asarray(jnp.mean(jnp.linalg.norm(est - tr, axis=-1), axis=-1))
+        )
+        # MEASURED error of the actual seeded graph (the reference
+        # publishes /state/pose_graph/initial as its own metric,
+        # plotting_node.py:195-218 over the initial estimate): evaluate
+        # the node values the graph was seeded with (secondary poses at
+        # node-creation time), same alignment as the result metric.
+        est_i = sub.poses_init[:, 1: t_total, :2]
+        err_pg_init.append(
+            np.asarray(
+                jnp.mean(jnp.linalg.norm(est_i - tr, axis=-1), axis=-1)
+            )
+        )
+    return np.concatenate(err_pg), np.concatenate(err_pg_init)

@@ -213,7 +213,113 @@ def update(
         meas_valid=meas_valid,
         ids=ids,
         M=m,
+        lms_init=lms_init,
         timestep=t_new,
+    )
+
+
+def assemble_streams(cfg: Config, est_poses, r, b, vis, cmds) -> PoseGraphState:
+    """Build the ENTIRE pose graph from full-rollout streams in vector ops —
+    the O(T*N) replacement for T sequential `update` calls (the accumulation
+    path that capped the XLA runner at ~1.8k steps/s/world).
+
+    Inputs for one world (vmap over worlds):
+      est_poses: (T, 3) secondary-filter pose AFTER tick t (the node seeds,
+                 pose_graph.cpp:97-118,247)
+      r, b:      (T, N) noisy range/bearing streams (slot = landmark id)
+      vis:       (T, N) visibility mask
+      cmds:      (T, 2) commanded odometry (the between-factor values,
+                 pose_graph.cpp:220-222)
+
+    Exactly reproduces the PoseGraphState the per-tick `update` scan builds
+    (parity-tested in tests/test_posegraph.py): tick T-1 solves instead of
+    adding (live mask), landmark slots are assigned in first-sighting order
+    with same-tick ties broken by ascending id (the simulator emits
+    measurements in id order, sim_node.py:231-243), and first sightings seed
+    from the secondary pose at the sighting tick (pose_graph.cpp:163-169).
+
+    Requires num_meas_slots >= N (no per-tick measurement compaction), which
+    is how every benchmark config runs.
+    """
+    t_cap = cfg.num_iterations
+    n_cap = vis.shape[1]
+    k = cfg.num_meas_slots
+    if k < n_cap:
+        raise ValueError(
+            "assemble_streams needs num_meas_slots >= landmark slots "
+            f"(got {k} < {n_cap})"
+        )
+    if est_poses.shape[0] != t_cap:
+        raise ValueError("stream length must equal cfg.num_iterations")
+    tidx = jnp.arange(t_cap)
+    live = tidx < t_cap - 1  # the final tick solves instead of adding
+    vis_live = vis & live[:, None]
+
+    # ---- first-sighting slot assignment (meas_body insertion order) ----
+    first_t = jnp.where(
+        jnp.any(vis_live, axis=0),
+        jnp.argmax(vis_live, axis=0),
+        t_cap,  # never seen
+    )  # (N,)
+    order = jnp.argsort(first_t, stable=True)  # ties -> ascending id
+    slot_of_id = jnp.argsort(order, stable=True)  # inverse permutation
+    seen = first_t < t_cap
+    m = jnp.sum(seen.astype(jnp.int32))
+    slot_idx = jnp.arange(n_cap)
+    ids = jnp.where(slot_idx < m, order, -1).astype(jnp.int32)
+
+    # ---- landmark seeds: secondary pose at the first-sighting tick ----
+    tf = jnp.clip(first_t, 0, t_cap - 1)
+    p_at = est_poses[tf]  # (N, 3) pose after tick first_t, per landmark id
+    r_at = jnp.take_along_axis(r, tf[None, :], axis=0)[0]
+    b_at = jnp.take_along_axis(b, tf[None, :], axis=0)[0]
+    seed_x = p_at[:, 0] + r_at * jnp.cos(p_at[:, 2] + b_at)
+    seed_y = p_at[:, 1] + r_at * jnp.sin(p_at[:, 2] + b_at)
+    seeds_by_id = jnp.stack([seed_x, seed_y], axis=1)  # (N, 2) by id
+    lms_init = jnp.where(
+        (slot_idx < m)[:, None], seeds_by_id[order], 0.0
+    )
+
+    # ---- node values and odometry ----
+    pose0 = jnp.asarray(cfg.init_pose, jnp.float32)
+    poses_init = jnp.concatenate(
+        [
+            pose0[None],
+            jnp.where(live[:, None], est_poses, 0.0),
+            jnp.zeros((1, 3), jnp.float32),
+        ],
+        axis=0,
+    )[: t_cap + 1]
+    odom = jnp.where(live[:, None], cmds, 0.0)
+    odom_valid = live
+
+    # ---- measurement factor tensors (slot j = landmark id j, the
+    # simulator's id-order emission; invalid slots zeroed like meas_body) ----
+    pad = k - n_cap
+    rb = jnp.stack([r, b], axis=-1)
+    meas_rb = jnp.where(vis_live[..., None], rb, 0.0)
+    meas_lm = jnp.where(vis_live, slot_of_id[None, :], 0).astype(jnp.int32)
+    meas_valid = vis_live
+    if pad:
+        meas_rb = jnp.pad(meas_rb, ((0, 0), (0, pad), (0, 0)))
+        meas_lm = jnp.pad(meas_lm, ((0, 0), (0, pad)))
+        meas_valid = jnp.pad(meas_valid, ((0, 0), (0, pad)))
+
+    return PoseGraphState(
+        poses_init=poses_init,
+        lms_init=lms_init,
+        odom=odom,
+        odom_valid=odom_valid,
+        meas_rb=meas_rb,
+        meas_lm=meas_lm,
+        meas_valid=meas_valid,
+        ids=ids,
+        M=m.astype(jnp.int32),
+        timestep=jnp.int32(t_cap - 1),
+        cur_pose=est_poses[-1],
+        poses_sol=jnp.zeros((t_cap + 1, 3), jnp.float32).at[0].set(pose0),
+        lms_sol=jnp.zeros((n_cap, 2), jnp.float32),
+        solved=jnp.asarray(False),
     )
 
 

@@ -66,7 +66,7 @@ _P0 = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005)
 
 def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                  inject_noise: bool = False, profile_mode: str = "full",
-                 predicated: bool = True):
+                 predicated: bool = True, emit_traj: bool = False):
     """Builds the kernel body, specialized on the static config."""
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
     nz = cfg.sim_noise_scale
@@ -88,9 +88,11 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
     def kernel(seed_ref, cmds_ref, lms_ref, *rest):
         if inject_noise:
             noise_ref = rest[0]
-            stats_ref, x_ref, p_ref, seen_ref = rest[1:]
-        else:
-            stats_ref, x_ref, p_ref, seen_ref = rest
+            rest = rest[1:]
+        traj_ref = None
+        if emit_traj:
+            *rest, traj_ref = rest
+        stats_ref, x_ref, p_ref, seen_ref = rest
         blk = pl.program_id(0)
         tc = pl.program_id(1)
         if not inject_noise:
@@ -376,6 +378,13 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
             e = jnp.sqrt(ex * ex + ey * ey)
             stats_ref[0:1, :] = stats_ref[0:1, :] + e
             stats_ref[4:5, :] = jnp.maximum(stats_ref[4:5, :], e)
+            if emit_traj:
+                # per-tick pose stream (rows: est x,y,th, true x,y,th, pad):
+                # feeds the pose-graph streams-assembly path
+                # (posegraph.assemble_streams) with the secondary's node seeds
+                traj_ref[t, 0:3, :] = x_ref[0:3, :]
+                traj_ref[t, 3:6, :] = stats_ref[1:4, :]
+                traj_ref[t, 6:8, :] = jnp.zeros((2, bl), jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, t_chunk, tick, 0)
@@ -385,12 +394,15 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block_worlds", "interpret", "profile_mode", "t_chunk"),
+    static_argnames=(
+        "cfg", "block_worlds", "interpret", "profile_mode", "t_chunk",
+        "emit_traj",
+    ),
 )
 def fused_ekf_rollout(
     cfg: Config, landmarks, cmds, seed, block_worlds: int = 256,
     interpret: bool = False, noise=None, profile_mode: str = "full",
-    t_chunk: int = 125,
+    t_chunk: int = 125, emit_traj: bool = False,
 ):
     """Run the full T-step sim+EKF rollout for a world batch in one kernel.
 
@@ -420,6 +432,8 @@ def fused_ekf_rollout(
     lms_t = jnp.transpose(landmarks, (1, 2, 0)).astype(jnp.float32)  # (N,2,B)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
+    if emit_traj and profile_mode != "full":
+        raise ValueError("emit_traj requires profile_mode='full'")
     kernel = _make_kernel(
         cfg, n_lm, t_chunk, dp, bl,
         inject_noise=noise is not None, profile_mode=profile_mode,
@@ -427,6 +441,7 @@ def fused_ekf_rollout(
         # gains already make skipped updates exact no-ops); the interpreter
         # mishandles value-dependent pl.when, so run unpredicated there
         predicated=not interpret,
+        emit_traj=emit_traj,
     )
     in_specs = [
         pl.BlockSpec((t_chunk, 2, bl), lambda i, tc, *_: (tc, 0, i)),
@@ -441,30 +456,38 @@ def fused_ekf_rollout(
             )
         )
         inputs.append(jnp.asarray(noise, jnp.float32))
+    out_specs = [
+        pl.BlockSpec((8, bl), lambda i, tc, *_: (0, i)),
+        pl.BlockSpec((dp, bl), lambda i, tc, *_: (0, i)),
+        pl.BlockSpec((dp, dp, bl), lambda i, tc, *_: (0, 0, i)),
+        pl.BlockSpec((n_lm, bl), lambda i, tc, *_: (0, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, b), jnp.float32),
+        jax.ShapeDtypeStruct((dp, b), jnp.float32),
+        jax.ShapeDtypeStruct((dp, dp, b), jnp.float32),
+        jax.ShapeDtypeStruct((n_lm, b), jnp.float32),
+    ]
+    if emit_traj:
+        out_specs.append(
+            pl.BlockSpec((t_chunk, 8, bl), lambda i, tc, *_: (tc, 0, i))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((t_total, 8, b), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // bl, n_chunks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((8, bl), lambda i, tc, *_: (0, i)),
-            pl.BlockSpec((dp, bl), lambda i, tc, *_: (0, i)),
-            pl.BlockSpec((dp, dp, bl), lambda i, tc, *_: (0, 0, i)),
-            pl.BlockSpec((n_lm, bl), lambda i, tc, *_: (0, i)),
-        ],
+        out_specs=out_specs,
     )
-    stats, x_out, p_out, seen = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((8, b), jnp.float32),
-            jax.ShapeDtypeStruct((dp, b), jnp.float32),
-            jax.ShapeDtypeStruct((dp, dp, b), jnp.float32),
-            jax.ShapeDtypeStruct((n_lm, b), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    stats, x_out, p_out, seen = outs[:4]
 
-    return {
+    res = {
         "err_sum": stats[0],
         "err_max": stats[4],
         "true_pose": jnp.transpose(stats[1:4], (1, 0)),
@@ -472,6 +495,11 @@ def fused_ekf_rollout(
         "P": jnp.transpose(p_out, (2, 0, 1))[:, :d, :d],
         "seen": jnp.transpose(seen, (1, 0)) > 0.5,
     }
+    if emit_traj:
+        # (T, 8, B) -> (B, T, 3) est / true pose streams
+        res["est_traj"] = jnp.transpose(outs[4][:, 0:3, :], (2, 0, 1))
+        res["true_traj"] = jnp.transpose(outs[4][:, 3:6, :], (2, 0, 1))
+    return res
 
 
 def fused_ekf_rollout_sharded(

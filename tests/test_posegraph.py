@@ -435,3 +435,144 @@ def test_chordal_init_survives_adversarial_seeding():
     assert traj_err(p_ch) < 0.01, f"chordal init failed: {traj_err(p_ch)} m"
     # chordal reaches (at least) the clean-init basin
     assert float(e_ch) <= float(e_ok) * 1.01 + 1e-3
+
+
+def test_assemble_streams_matches_update_scan():
+    """posegraph.assemble_streams must reproduce the per-tick update() scan's
+    PoseGraphState field-for-field from the same streams (including the
+    first-sighting slot order, live-tick masking, and landmark seeding)."""
+    from live_ekf_slam_tpu.core.types import Measurements
+
+    T, N = 14, 5
+    cfg = Config(num_iterations=T).replace(
+        filter="pose_graph", num_landmark_slots=N, num_meas_slots=N
+    )
+    rng = np.random.default_rng(11)
+    cmds = jnp.asarray(
+        np.stack(
+            [rng.uniform(0, 0.1, T), rng.uniform(-0.05, 0.05, T)], axis=1
+        ),
+        jnp.float32,
+    )
+    est = jnp.asarray(
+        np.cumsum(rng.normal(0, 0.1, (T, 3)), axis=0), jnp.float32
+    )
+    r = jnp.asarray(rng.uniform(0.5, 3.0, (T, N)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1.5, 1.5, (T, N)), jnp.float32)
+    # sparse visibility incl. same-tick double first-sightings and a
+    # never-seen landmark
+    vis_np = rng.random((T, N)) < 0.3
+    vis_np[:, 4] = False
+    vis_np[3, 0] = vis_np[3, 1] = True
+    vis_np[:3, :2] = False
+    vis = jnp.asarray(vis_np)
+
+    s = posegraph.init(cfg)
+    ids_row = jnp.arange(N, dtype=jnp.int32)
+    for t in range(T):
+        s = posegraph.update_naive_estimate(s, est[t])
+        meas = Measurements(
+            ids=jnp.where(vis[t], ids_row, -1),
+            r=r[t],
+            b=b[t],
+            valid=vis[t],
+            overflow=jnp.asarray(False),
+        )
+        s = posegraph.update(cfg, s, cmds[t], meas, tick=t)
+
+    a = posegraph.assemble_streams(cfg, est, r, b, vis, cmds)
+
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(s.ids))
+    assert int(a.M) == int(s.M)
+    assert int(a.timestep) == int(s.timestep)
+    np.testing.assert_allclose(
+        np.asarray(a.poses_init), np.asarray(s.poses_init), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.lms_init), np.asarray(s.lms_init), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(a.odom), np.asarray(s.odom))
+    np.testing.assert_array_equal(
+        np.asarray(a.odom_valid), np.asarray(s.odom_valid)
+    )
+    np.testing.assert_allclose(np.asarray(a.meas_rb), np.asarray(s.meas_rb))
+    np.testing.assert_array_equal(
+        np.asarray(a.meas_lm), np.asarray(s.meas_lm)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.meas_valid), np.asarray(s.meas_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.cur_pose), np.asarray(s.cur_pose)
+    )
+
+
+def test_streams_path_matches_scan_path_naive():
+    """run_monte_carlo_pg_streams (closed-form sim + assemble_streams + bulk
+    solve) must reproduce the scan path's results for the same keys/seed:
+    same worlds, same secondary errors, same PGS metrics."""
+    import dataclasses
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo_pg_streams
+
+    cfg = _small_cfg()
+    cfg = cfg.replace(
+        pose_graph=dataclasses.replace(
+            cfg.pose_graph, solve_graph_every_iteration=False
+        )
+    )
+    key = jax.random.PRNGKey(4)
+    res_scan, _, _ = run_monte_carlo(
+        cfg, key, batch=4, seed=3, collect="poses"
+    )
+    res_str, _, _ = run_monte_carlo_pg_streams(cfg, key, batch=4, seed=3)
+
+    np.testing.assert_allclose(
+        res_str["err_naive"], res_scan["err_naive"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        res_str["err_pose_graph_initial"],
+        res_scan["err_pose_graph_initial"], atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        res_str["err_pose_graph_result"],
+        res_scan["err_pose_graph_result"], atol=2e-3,
+    )
+    assert not res_str["diverged_naive"].any()
+
+
+def test_streams_path_matches_scan_path_ekf():
+    """EKF-secondary streams path: the fused kernel consumes the SAME
+    injected noise draws the closed-form sim used, so its per-tick pose
+    stream seeds the same graph the scan path builds (kernel parity with the
+    XLA EKF is covered by test_fused_rollout; tolerance covers the kernel's
+    polynomial atan2)."""
+    import dataclasses
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo_pg_streams
+
+    cfg = Config(num_iterations=60).replace(
+        filter="pose_graph", num_landmark_slots=6, num_meas_slots=6
+    )
+    cfg = cfg.replace(
+        map=cfg.map.__class__(num_landmarks=6),
+        pose_graph=dataclasses.replace(
+            cfg.pose_graph,
+            filter_to_compare="ekf_slam",
+            solve_graph_every_iteration=False,
+        ),
+    )
+    key = jax.random.PRNGKey(6)
+    res_scan, _, _ = run_monte_carlo(
+        cfg, key, batch=2, seed=5, collect="poses"
+    )
+    res_str, _, _ = run_monte_carlo_pg_streams(
+        cfg, key, batch=2, seed=5, block_worlds=2
+    )
+    np.testing.assert_allclose(
+        res_str["err_ekf_slam"], res_scan["err_ekf_slam"], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        res_str["err_pose_graph_result"],
+        res_scan["err_pose_graph_result"], atol=5e-3,
+    )

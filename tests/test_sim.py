@@ -115,3 +115,53 @@ def test_monte_carlo_landmarks_respect_occupancy():
 
     res, _, _ = run_monte_carlo(cfg, jax.random.PRNGKey(0), 4)
     assert np.isfinite(res["err_naive"]).all()
+
+
+def test_sim_streams_matches_scan_path():
+    """sim/streams.py: the closed-form cumsum rollout must reproduce the
+    sequential sim_step scan — same keys, same trajectories, same noisy
+    measurement streams (slot = landmark id) to float tolerance."""
+    import jax
+
+    from live_ekf_slam_tpu.sim.streams import naive_deadreckon, sim_streams
+    from live_ekf_slam_tpu.sim.world import init_world, sim_step
+    from live_ekf_slam_tpu.models import naive
+
+    T, N = 60, 7
+    cfg = Config(num_iterations=T).replace(
+        num_landmark_slots=N, num_meas_slots=N
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=N))
+    rng = np.random.default_rng(5)
+    lms = jnp.asarray(rng.uniform(-8, 8, (N, 2)), jnp.float32)
+    cmds = jnp.asarray(
+        np.stack([rng.uniform(0, 0.1, T), rng.uniform(-0.05, 0.05, T)], 1),
+        jnp.float32,
+    )
+    k_roll = jax.random.PRNGKey(17)
+
+    out = sim_streams(cfg, lms, N, cmds, k_roll)
+
+    world = init_world(cfg, lms, N)
+    keys = jax.random.split(k_roll, T)
+    nstate = naive.init(cfg)
+    for t in range(T):
+        world, meas = sim_step(cfg, world, cmds[t], keys[t])
+        nstate = naive.update(cfg, nstate, cmds[t])
+        np.testing.assert_allclose(
+            np.asarray(out["poses_true"][t]), np.asarray(world.pose),
+            atol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["vis"][t]), np.asarray(meas.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["r"][t]), np.asarray(meas.r), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["b"][t]), np.asarray(meas.b), atol=2e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(naive_deadreckon(cfg, cmds)[-1]),
+        np.asarray(nstate.pose), atol=2e-5,
+    )
