@@ -178,14 +178,33 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
 
     if (
         live and cfg.plotter.async_viz and gp is None
-        and cfg.filter != "pose_graph" and les_native.available()
+        and les_native.available()
     ):
         import threading
         import time as _time
 
         from live_ekf_slam_tpu.viz.async_feed import AsyncFrameFeed
 
-        feed = AsyncFrameFeed(cfg.num_landmark_slots)
+        pg_mode = cfg.filter == "pose_graph"
+        state_name = (
+            cfg.pose_graph.filter_to_compare if pg_mode else cfg.filter
+        )
+        n = cfg.num_landmark_slots
+        # frame layout sized to what this filter renders: covariance block,
+        # UKF sigma-point block, pose-graph panel histories
+        if state_name == "ekf_slam":
+            d_cov = 3 + 2 * n
+        elif state_name == "ukf_slam":
+            d_cov = 4 + 2 * n
+        elif state_name == "ukf_loc":
+            d_cov = 4
+        else:
+            d_cov = 0
+        du_sigma = d_cov if state_name.startswith("ukf") else 0
+        feed = AsyncFrameFeed(
+            n, d_cov=d_cov, du_sigma=du_sigma,
+            t_pg=cfg.num_iterations if pg_mode else 0,
+        )
         errors: list[float] = []
         done = threading.Event()
 
@@ -202,10 +221,41 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
                     c, (tp, ep) = step(c, (cmds[t], keys[t]))
                     tp_, ep_ = np.asarray(tp), np.asarray(ep)
                     errors.append(float(np.linalg.norm(ep_[:2] - tp_[:2])))
+                    state = c.secondary if pg_mode else c.primary
                     fr = _frame_from_state(
-                        cfg, cfg.filter, c.primary, t + 1, tp_, ep_
+                        cfg, state_name, state, t + 1, tp_, ep_
                     )
-                    feed.push(t + 1, tp_, ep_, fr.landmarks)
+                    if pg_mode:
+                        # pose-graph panel fields (plotting_node.py:444-455):
+                        # the growing initial graph, the per-tick solution in
+                        # iterative mode, and the final solve on the last tick
+                        pg = c.primary
+                        ts = int(pg.timestep)
+                        m = int(pg.M)
+                        fr.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
+                        if m:
+                            fr.pg_landmarks = np.asarray(pg.lms_init)[:m]
+                        if (
+                            cfg.pose_graph.solve_graph_every_iteration
+                            and bool(pg.solved)
+                        ):
+                            fr.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
+                            if m:
+                                fr.pg_landmarks = np.asarray(pg.lms_sol)[:m]
+                        if t + 1 >= cfg.num_iterations:
+                            from live_ekf_slam_tpu.models import posegraph
+
+                            solved = jax.jit(
+                                lambda s: posegraph.finalize(cfg, s)
+                            )(pg)
+                            fr.pg_result = np.asarray(
+                                solved.poses_sol
+                            )[: ts + 1]
+                            if m:
+                                fr.pg_landmarks = np.asarray(
+                                    solved.lms_sol
+                                )[:m]
+                    feed.push(fr)
             except BaseException as e:  # noqa: BLE001 - relayed to main
                 producer_exc.append(e)
             finally:
@@ -231,7 +281,7 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
             f"{avg} (async viz: {feed.dropped} frames skipped)"
         )
         feed.close()
-        return
+        return avg
 
     import jax.numpy as jnp2
     cmd = jnp2.zeros(2, jnp2.float32)

@@ -180,6 +180,12 @@ class PathPlanningConfig:
     astar_max_iters: int = 512     # min-plus relaxation sweeps bound (global A*)
     local_astar_max_iters: int = 96  # bound for the 1.8 m local plans
     replan_period: int = 5         # goal_pursuit_node.py:30 — replan every 5 ticks
+    # Non-blocking local replanning: run A* on the native JobScheduler's
+    # worker threads (C++ A* releases the GIL) and swap the new segment in
+    # when it lands, instead of blocking the control loop like the
+    # reference's planning node (goal_pursuit_node.py:30-40). Falls back to
+    # synchronous planning when the native lib is unavailable.
+    async_replan: bool = False
 
 
 @_freeze()

@@ -18,7 +18,16 @@ from live_ekf_slam_tpu.planning.host import AstarHost, PurePursuitHost
 
 
 class GoalPursuit:
-    """Host-side planner/controller (goal_pursuit_node semantics)."""
+    """Host-side planner/controller (goal_pursuit_node semantics).
+
+    With PathPlanningConfig.async_replan, local-planner replans run on the
+    native JobScheduler's worker threads (native/src/scheduler.cpp) instead
+    of blocking the control loop: the vehicle keeps driving the previous
+    path while the C++ A* (ctypes releases the GIL) computes the next
+    segment, which is swapped in on completion. The reference's planning
+    node blocks its state callback for the whole plan
+    (goal_pursuit_node.py:30-40); this is the non-blocking upgrade.
+    """
 
     def __init__(self, cfg: Config, occ: np.ndarray):
         self.cfg = cfg
@@ -26,6 +35,14 @@ class GoalPursuit:
         self.pp = PurePursuitHost(cfg)
         self.occ = occ
         self.using_blank_map = bool((occ > 0.5).all())
+        self._sched = None
+        self._pending = None
+        self.async_replans = 0
+        if cfg.path_planning.async_replan:
+            from live_ekf_slam_tpu import native
+
+            if native.available():
+                self._sched = native.JobScheduler(n_threads=2)
 
     # -- goal selection ------------------------------------------------
     def set_goal(self, goal_xy) -> bool:
@@ -60,20 +77,54 @@ class GoalPursuit:
         self.pp.goal_queue += [list(p) for p in seg]
 
     # -- control --------------------------------------------------------
+    def _replan_local_async(self, cur):
+        """Submit a local replan to the native thread pool; keep the current
+        path until the result lands. At most one replan is in flight."""
+        if self._pending is not None and not self._pending["done"]:
+            return
+        snapshot = list(cur)
+        pending = {"done": False, "seg": None}
+
+        def job():
+            goal = self.astar.local_planner(snapshot)
+            if goal is not None:
+                if (
+                    self.cfg.path_planning.nav_method == "simple"
+                    or self.using_blank_map
+                ):
+                    pending["seg"] = [list(goal)]
+                else:
+                    seg = self.astar.plan(snapshot[:2], goal)
+                    if seg is not None:
+                        pending["seg"] = [list(p) for p in seg]
+            pending["done"] = True
+
+        self._pending = pending
+        self._sched.submit(job)
+
     def on_state(self, est_pose) -> tuple:
         """One navigation tick from a filter state (goal_pursuit_node.py:42-52).
 
         Returns the (fwd, ang) command for the next sim tick.
         """
         self._cur = list(np.asarray(est_pose, dtype=float))
+        # swap in a completed async replan before steering this tick
+        if self._pending is not None and self._pending["done"]:
+            if self._pending["seg"] is not None:
+                self.pp.goal_queue = self._pending["seg"]
+                self.async_replans += 1
+            self._pending = None
         if self.cfg.use_local_planner and getattr(self, "_t", 0) % \
                 self.cfg.path_planning.replan_period == 0:
-            goal = self.astar.local_planner(self._cur)
-            if goal is None:
-                self._t = getattr(self, "_t", 0) + 1
-                return (0.0, 0.0)
-            self.pp.goal_queue = []
-            self._plan_to(goal)
+            if self._sched is not None:
+                self._replan_local_async(self._cur)
+            else:
+                goal = self.astar.local_planner(self._cur)
+                if goal is None:
+                    self._t = getattr(self, "_t", 0) + 1
+                    return (0.0, 0.0)
+                self.pp.goal_queue = []
+                self._plan_to(goal)
         self._t = getattr(self, "_t", 0) + 1
         if self.cfg.path_planning.nav_method == "pp":
             return self.pp.get_next_cmd(self._cur)

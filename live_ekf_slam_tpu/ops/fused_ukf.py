@@ -443,23 +443,31 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                     # Joseph form P -= K C^T + C K^T - K S K^T (see
                     # models/ukf.py): PSD for any gain, which keeps the
                     # pivot clamp benign; masked gains still make skipped
-                    # worlds exact no-ops (every term carries k)
-                    a0 = s00 * k0 + s01 * k1
-                    a1 = s01 * k0 + s11 * k1
-                    p_ref[:, :, :] = (
-                        p_ref[:, :, :]
-                        - k0[:, None, :] * c_r[None, :, :]
-                        - k1[:, None, :] * c_b[None, :, :]
-                    )
-                    p_ref[:, :, :] = (
-                        p_ref[:, :, :]
-                        - c_r[:, None, :] * k0[None, :, :]
-                        - c_b[:, None, :] * k1[None, :, :]
-                    )
-                    p_ref[:, :, :] = (
-                        p_ref[:, :, :]
-                        + a0[:, None, :] * k0[None, :, :]
-                        + a1[:, None, :] * k1[None, :, :]
+                    # worlds exact no-ops (every term carries k).
+                    #
+                    # ONE pass, symmetric BY FP CONSTRUCTION: each paired
+                    # term u_i v_j + v_i u_j is exactly symmetric in IEEE
+                    # arithmetic (products and the one addition commute), and
+                    # K S K^T expands into such pairs — so P stays exactly
+                    # symmetric tick after tick. The previous three-pass
+                    # spelling accumulated (i,j)/(j,i) rounding skew over
+                    # 1000-tick rollouts, slowly corrupting the Cholesky and
+                    # feeding the chol-mode divergence tail; it also swept
+                    # VMEM three times per landmark.
+                    ko0 = k0[:, None, :]
+                    ko1 = k1[:, None, :]
+                    cro = c_r[:, None, :]
+                    cbo = c_b[:, None, :]
+                    kT0 = k0[None, :, :]
+                    kT1 = k1[None, :, :]
+                    crT = c_r[None, :, :]
+                    cbT = c_b[None, :, :]
+                    p_ref[:, :, :] = p_ref[:, :, :] + (
+                        -(ko0 * crT + cro * kT0)
+                        - (ko1 * cbT + cbo * kT1)
+                        + s00 * (ko0 * kT0)
+                        + s01 * (ko0 * kT1 + ko1 * kT0)
+                        + s11 * (ko1 * kT1)
                     )
 
             # ---- pass 2: insertions (slam only; ukf.cpp:351-372)

@@ -7,10 +7,18 @@ frame snapshots into `native.FrameRing` (C++, overwrite-oldest); the
 matplotlib main thread pops the NEWEST frame at its own cadence. Rendering
 never stalls device work; skipped frames are counted by the ring.
 
-Frame layout (fixed capacity, float32):
-  [timestep, true_pose(3), est_pose(3), M, landmarks(N * 3 as id, x, y)]
-Async mode carries the core artists (truth, estimate, landmark estimates);
-covariance/sigma/pose-graph panels remain synchronous-mode features.
+Frame layout (fixed capacity, float32), configured at construction:
+  header (16): [timestep, true_pose(3), est_pose(3), m_lm, has_cov,
+                has_sigma, n_pg_init, n_pg_res, m_pg, pad(3)]
+  landmarks:   N * 3 as (id, x, y)
+  cov:         d_cov * d_cov          (covariance ellipses; 0 to disable)
+  sigma:       du * (2 du + 1)        (UKF sigma points; 0 to disable)
+  pose graph:  2 * (t_pg + 1) * 3 + N * 2   (initial + result pose
+               histories with counts, landmark positions; 0 to disable)
+
+Every artist the synchronous path renders (cov ellipses, sigma points, the
+pose-graph panel) round-trips through the ring (plotting_node.py:337-372,
+444-455 parity).
 """
 
 from __future__ import annotations
@@ -20,28 +28,78 @@ import numpy as np
 from live_ekf_slam_tpu import native
 from live_ekf_slam_tpu.viz.live import Frame
 
+_HDR = 16
+
 
 class AsyncFrameFeed:
     """Encode/decode viewer frames through the native ring buffer."""
 
-    def __init__(self, n_landmark_slots: int, n_slots: int = 8):
+    def __init__(
+        self,
+        n_landmark_slots: int,
+        d_cov: int = 0,
+        du_sigma: int = 0,
+        t_pg: int = 0,
+        n_slots: int = 8,
+    ):
         self.n = int(n_landmark_slots)
-        self.slot_floats = 1 + 3 + 3 + 1 + 3 * self.n
+        self.d = int(d_cov)
+        self.du = int(du_sigma)
+        self.t_pg = int(t_pg)
+        self.off_lm = _HDR
+        self.off_cov = self.off_lm + 3 * self.n
+        self.off_sig = self.off_cov + self.d * self.d
+        self._sig_cols = 2 * self.du + 1
+        self.off_pg = self.off_sig + self.du * self._sig_cols
+        pg_floats = 2 * (self.t_pg + 1) * 3 + 2 * self.n if self.t_pg else 0
+        self.slot_floats = self.off_pg + pg_floats
         self.ring = native.FrameRing(self.slot_floats, n_slots)
 
     # -- producer side (compute thread) --------------------------------
-    def push(self, timestep: int, true_pose, est_pose, landmarks=None) -> bool:
+    def push(self, frame: Frame) -> bool:
         buf = np.zeros(self.slot_floats, np.float32)
-        buf[0] = timestep
-        buf[1:4] = np.asarray(true_pose, np.float32)
-        buf[4:7] = np.asarray(est_pose, np.float32)
+        buf[0] = frame.timestep
+        buf[1:4] = np.asarray(frame.true_pose, np.float32)
+        if frame.est_pose is not None:
+            buf[4:7] = np.asarray(frame.est_pose, np.float32)
         m = 0
-        if landmarks is not None and len(landmarks):
-            m = min(len(landmarks), self.n)
-            buf[8: 8 + 3 * m] = np.asarray(
-                landmarks[:m], np.float32
+        if frame.landmarks is not None and len(frame.landmarks):
+            m = min(len(frame.landmarks), self.n)
+            buf[self.off_lm: self.off_lm + 3 * m] = np.asarray(
+                frame.landmarks[:m], np.float32
             ).reshape(-1)
         buf[7] = m
+        if self.d and frame.cov is not None:
+            d = min(frame.cov.shape[0], self.d)
+            cov = np.zeros((self.d, self.d), np.float32)
+            cov[:d, :d] = np.asarray(frame.cov[:d, :d], np.float32)
+            buf[self.off_cov: self.off_sig] = cov.reshape(-1)
+            buf[8] = 1.0
+        if self.du and frame.sigma_pts is not None:
+            sig = np.zeros((self.du, self._sig_cols), np.float32)
+            s = np.asarray(frame.sigma_pts, np.float32)
+            sig[: s.shape[0], : s.shape[1]] = s
+            buf[self.off_sig: self.off_pg] = sig.reshape(-1)
+            buf[9] = 1.0
+        if self.t_pg:
+            off = self.off_pg
+            cap = self.t_pg + 1
+            for idx, hist in ((10, frame.pg_initial), (11, frame.pg_result)):
+                cnt = 0
+                if hist is not None and len(hist):
+                    cnt = min(len(hist), cap)
+                    buf[off: off + 3 * cnt] = np.asarray(
+                        hist[:cnt], np.float32
+                    ).reshape(-1)
+                buf[idx] = cnt
+                off += 3 * cap
+            mpg = 0
+            if frame.pg_landmarks is not None and len(frame.pg_landmarks):
+                mpg = min(len(frame.pg_landmarks), self.n)
+                buf[off: off + 2 * mpg] = np.asarray(
+                    frame.pg_landmarks[:mpg], np.float32
+                ).reshape(-1)
+            buf[12] = mpg
         return self.ring.push(buf)
 
     # -- consumer side (render thread) ----------------------------------
@@ -50,12 +108,44 @@ class AsyncFrameFeed:
         if buf is None:
             return None
         m = int(buf[7])
-        lms = buf[8: 8 + 3 * m].reshape(m, 3).copy() if m else None
+        lms = (
+            buf[self.off_lm: self.off_lm + 3 * m].reshape(m, 3).copy()
+            if m else None
+        )
+        cov = None
+        if self.d and buf[8] > 0:
+            cov = buf[self.off_cov: self.off_sig].reshape(self.d, self.d).copy()
+        sig = None
+        if self.du and buf[9] > 0:
+            sig = (
+                buf[self.off_sig: self.off_pg]
+                .reshape(self.du, self._sig_cols).copy()
+            )
+        pg_init = pg_res = pg_lms = None
+        if self.t_pg:
+            off = self.off_pg
+            cap = self.t_pg + 1
+            n_init = int(buf[10])
+            if n_init:
+                pg_init = buf[off: off + 3 * n_init].reshape(n_init, 3).copy()
+            off += 3 * cap
+            n_res = int(buf[11])
+            if n_res:
+                pg_res = buf[off: off + 3 * n_res].reshape(n_res, 3).copy()
+            off += 3 * cap
+            mpg = int(buf[12])
+            if mpg:
+                pg_lms = buf[off: off + 2 * mpg].reshape(mpg, 2).copy()
         return Frame(
             timestep=int(buf[0]),
             true_pose=buf[1:4].copy(),
             est_pose=buf[4:7].copy(),
             landmarks=lms,
+            cov=cov,
+            sigma_pts=sig,
+            pg_initial=pg_init,
+            pg_result=pg_res,
+            pg_landmarks=pg_lms,
         )
 
     @property

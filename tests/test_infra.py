@@ -372,17 +372,46 @@ def test_async_frame_feed_roundtrip():
 
         pytest.skip("native lib not built")
     from live_ekf_slam_tpu.viz.async_feed import AsyncFrameFeed
+    from live_ekf_slam_tpu.viz.live import Frame
 
-    feed = AsyncFrameFeed(n_landmark_slots=5)
+    rng = np.random.default_rng(2)
+    du = 14  # 4 + 2*5
+    feed = AsyncFrameFeed(n_landmark_slots=5, d_cov=13, du_sigma=du, t_pg=10)
     lms = np.array([[0, 1.0, 2.0], [3, -1.0, 0.5]], np.float32)
-    feed.push(7, np.array([1.0, 2.0, 0.3]), np.array([1.1, 2.1, 0.25]), lms)
+    cov = rng.normal(size=(13, 13)).astype(np.float32)
+    sig = rng.normal(size=(du, 2 * du + 1)).astype(np.float32)
+    pg_i = rng.normal(size=(8, 3)).astype(np.float32)
+    pg_r = rng.normal(size=(8, 3)).astype(np.float32)
+    pg_l = rng.normal(size=(3, 2)).astype(np.float32)
+    feed.push(Frame(
+        timestep=7,
+        true_pose=np.array([1.0, 2.0, 0.3]),
+        est_pose=np.array([1.1, 2.1, 0.25]),
+        landmarks=lms, cov=cov, sigma_pts=sig,
+        pg_initial=pg_i, pg_result=pg_r, pg_landmarks=pg_l,
+    ))
     fr = feed.pop_latest()
     assert fr is not None and fr.timestep == 7
     np.testing.assert_allclose(fr.true_pose, [1.0, 2.0, 0.3], atol=1e-6)
     np.testing.assert_allclose(fr.est_pose, [1.1, 2.1, 0.25], atol=1e-6)
     np.testing.assert_allclose(fr.landmarks, lms, atol=1e-6)
+    np.testing.assert_allclose(fr.cov, cov, atol=1e-6)
+    np.testing.assert_allclose(fr.sigma_pts, sig, atol=1e-6)
+    np.testing.assert_allclose(fr.pg_initial, pg_i, atol=1e-6)
+    np.testing.assert_allclose(fr.pg_result, pg_r, atol=1e-6)
+    np.testing.assert_allclose(fr.pg_landmarks, pg_l, atol=1e-6)
     assert feed.pop_latest() is None
     feed.close()
+    # minimal layout still round-trips (no optional blocks)
+    feed2 = AsyncFrameFeed(n_landmark_slots=5)
+    feed2.push(Frame(
+        timestep=1, true_pose=np.zeros(3), est_pose=np.ones(3),
+        landmarks=lms,
+    ))
+    fr2 = feed2.pop_latest()
+    assert fr2.cov is None and fr2.sigma_pts is None and fr2.pg_initial is None
+    np.testing.assert_allclose(fr2.landmarks, lms, atol=1e-6)
+    feed2.close()
 
 
 def test_async_viz_demo_headless():
@@ -404,3 +433,30 @@ def test_async_viz_demo_headless():
     cfg = preset("filter_demo_live", Config(num_iterations=30))
     cfg = cfg.replace(plotter=dataclasses.replace(cfg.plotter, async_viz=True))
     C.run_demo(cfg, seed=0, live=True)
+
+
+def test_async_viz_ukf_and_posegraph_headless():
+    """Async viz with the extended frame layout: UKF sigma points +
+    covariance, and the pose-graph panel, all through the ring buffer
+    (plotting_node.py:337-372,444-455 parity in async mode)."""
+    import dataclasses
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from live_ekf_slam_tpu import native
+    from live_ekf_slam_tpu import cli as C
+    from live_ekf_slam_tpu.config import Config, preset
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    for filt in ("ukf_slam", "pose_graph"):
+        cfg = preset("filter_demo_live", Config(num_iterations=25))
+        cfg = cfg.replace(
+            filter=filt,
+            plotter=dataclasses.replace(cfg.plotter, async_viz=True),
+        )
+        avg = C.run_demo(cfg, seed=0, live=True)
+        assert np.isfinite(avg)

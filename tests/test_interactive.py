@@ -58,3 +58,55 @@ def test_iterative_pgs_mode():
     assert out["pgs_result"].shape == (60, 3)
     # the solved history should not be wildly worse than the secondary's
     assert out["err_pose_graph_result"] < max(out["err_secondary"] * 3.0, 0.5)
+
+
+def test_async_replan_on_native_scheduler():
+    """PathPlanningConfig.async_replan: local replans run on the native
+    JobScheduler worker threads (non-blocking control loop) and completed
+    segments are swapped in — the vehicle still makes progress."""
+    import dataclasses
+
+    from live_ekf_slam_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+
+    cfg = Config(num_iterations=200).replace(
+        filter="ekf_slam", occ_map_img="building1.png",
+        use_local_planner=True,
+        num_landmark_slots=5, num_meas_slots=5,
+    )
+    cfg = cfg.replace(
+        map=cfg.map.__class__(num_landmarks=5),
+        path_planning=dataclasses.replace(
+            cfg.path_planning, async_replan=True
+        ),
+    )
+    occ, _ = sim_maps.load_occ_map(cfg)
+    rng = np.random.default_rng(0)
+    lms, n = sim_maps.make_landmarks(cfg, rng, occ)
+
+    gp = GoalPursuit(cfg, occ)
+    assert gp._sched is not None, "scheduler should be active"
+    carry = R.init_carry(cfg, jnp.asarray(lms), n)
+    step = jax.jit(R.make_step(cfg, collect="poses"))
+    gp._cur = [0.0, 0.0, 0.0]
+
+    key = jax.random.PRNGKey(1)
+    cmd = (0.0, 0.0)
+    est = np.zeros(3)
+    for t in range(cfg.num_iterations):
+        carry, (tp, ep) = step(
+            carry, (jnp.asarray(cmd, jnp.float32), jax.random.fold_in(key, t))
+        )
+        est = np.asarray(ep)
+        cmd = gp.on_state(est)
+    # wait out any in-flight replan, then release the pool cleanly
+    gp._sched.wait()
+    gp._sched.close()
+    assert gp.async_replans > 0, "no async replan ever landed"
+    assert np.hypot(est[0], est[1]) > 0.5, (
+        f"vehicle never made progress: {est}"
+    )
