@@ -79,7 +79,10 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
                impl="xla", retries=3):
     import jax
 
-    from live_ekf_slam_tpu.eval.runner import run_monte_carlo
+    from live_ekf_slam_tpu.eval.runner import (
+        run_monte_carlo,
+        run_monte_carlo_pg_streams,
+    )
 
     accum = {}
     for i in range(0, worlds, batch_chunk):
@@ -88,10 +91,16 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
         # (remote_compile "response body closed"); retry the chunk
         for attempt in range(retries):
             try:
-                res, _, _ = run_monte_carlo(
-                    cfg, jax.random.PRNGKey(key_seed + i), b,
-                    seed=key_seed + i, collect=collect, impl=impl,
-                )
+                if impl == "streams":
+                    res, _, _ = run_monte_carlo_pg_streams(
+                        cfg, jax.random.PRNGKey(key_seed + i), b,
+                        seed=key_seed + i,
+                    )
+                else:
+                    res, _, _ = run_monte_carlo(
+                        cfg, jax.random.PRNGKey(key_seed + i), b,
+                        seed=key_seed + i, collect=collect, impl=impl,
+                    )
                 break
             except jax.errors.JaxRuntimeError as e:
                 if attempt + 1 == retries:
@@ -184,24 +193,25 @@ def main():
             continue
         iterative = mode == "iter"
         worlds = args.worlds_iter if iterative else args.worlds
-        if secondary == "ekf_slam" and not args.smoke:
-            # the EKF-secondary accumulation rides the XLA path
-            # (launch-bound ~0.1M aggregate ticks/s); reduced but
-            # still tight-CI world counts keep the matrix's wall
-            # time bounded
-            worlds = min(worlds, 128 if iterative else 256)
+        if secondary == "ekf_slam" and iterative and not args.smoke:
+            # the EKF-secondary ITERATIVE mode still rides the per-tick XLA
+            # path (launch-bound); one-time configs now use the streams path
+            # at full world counts
+            worlds = min(worlds, 128)
         cfg = make_cfg(base, noise, "pose_graph",
                        secondary=secondary, iterative=iterative)
         t0 = time.perf_counter()
         log(f"[{name}] {worlds} worlds ...")
-        # run_monte_carlo re-jits per call, so use big chunks
-        # (the runner keeps device calls watchdog-safe internally);
-        # iterative mode stays smaller — per-tick PCG scales with B
+        # one-time configs: closed-form streams + vectorized assembly
+        # (run_monte_carlo_pg_streams) — accumulation at simulator speed;
+        # iterative mode keeps the faithful per-tick scan with smaller
+        # chunks (per-tick PCG scales with B)
+        impl = "streams" if not iterative and not args.smoke else "xla"
         chunk = args.batch_chunk if args.smoke else (
             128 if iterative else 512)
         res = run_config(cfg, worlds, chunk,
                          key_seed=zlib.crc32(name.encode()) % 100000,
-                         collect="poses")
+                         collect="poses", impl=impl)
         cfgstats = {
             "secondary": robust_stats(
                 res["err_" + secondary], res["diverged_" + secondary]
