@@ -483,20 +483,16 @@ def run_monte_carlo_pg_streams(
     Pallas kernel with the SAME injected noise draws (ops/fused_rollout.py
     emit_traj), and posegraph.assemble_streams builds every graph tensor in
     O(T*N) vector ops (parity-tested against the update() scan). Supports
-    one-time solve mode (solve_graph_every_iteration=False) with naive or
-    ekf_slam secondary; the scan path remains the reference implementation
-    and carries iterative mode.
+    naive and ekf_slam secondaries in BOTH solve modes: iterative mode
+    (solve_graph_every_iteration) re-enacts the per-tick incremental solves
+    on the assembled graphs (posegraph.replay_iterative — the same solver
+    calls as the in-scan path, minus the per-tick sim/filter overhead). The
+    scan path remains the reference implementation.
 
     Returns the same results dict shape as run_monte_carlo.
     """
     if cfg.filter != "pose_graph":
         raise ValueError("run_monte_carlo_pg_streams requires filter=pose_graph")
-    if cfg.pose_graph.solve_graph_every_iteration:
-        raise ValueError(
-            "streams path supports one-time solve mode only "
-            "(solve_graph_every_iteration=false); use run_monte_carlo for "
-            "the per-tick iterative mode"
-        )
     if cfg.pose_graph.update_landmarks_after_adding:
         raise ValueError(
             "streams path does not support update_landmarks_after_adding"
@@ -524,6 +520,9 @@ def run_monte_carlo_pg_streams(
 
         return jax.vmap(one)(lms_c, keys_c)
 
+    t_total = cfg.num_iterations
+    iterative = cfg.pose_graph.solve_graph_every_iteration
+
     @jax.jit
     def assemble_chunk(est_c, st_c, cmds_c):
         graphs = jax.vmap(
@@ -531,12 +530,83 @@ def run_monte_carlo_pg_streams(
                 cfg, e, r, b, v, c
             )
         )(est_c, st_c["r"], st_c["b"], st_c["vis"], cmds_c)
+        # per-tick landmark counts for the iterative replay: m_at[t] =
+        # #{first sightings <= t} (insertions happen on live ticks only)
+        tidx = jnp.arange(t_total)
+        vis_live = st_c["vis"] & (tidx < t_total - 1)[None, :, None]
+        first_t = jnp.where(
+            jnp.any(vis_live, axis=1), jnp.argmax(vis_live, axis=1), t_total
+        )  # (B, N)
+        m_at = jnp.sum(
+            (first_t[:, None, :] <= tidx[None, :, None]), axis=2
+        ).astype(jnp.int32)  # (B, T)
         # secondary metric (plotting_node.py:195-218) + divergence latch,
         # same semantics as the scan path's per-tick guard
         d = jnp.linalg.norm(
             est_c[:, :, :2] - st_c["poses_true"][:, :, :2], axis=-1
         )
-        return graphs, jnp.mean(d, axis=1), jnp.max(d, axis=1)
+        return graphs, m_at, jnp.mean(d, axis=1), jnp.max(d, axis=1)
+
+    rep_fns: dict = {}
+
+    def replay_chunk(graphs_c, m_at_c):
+        """Iterative mode: re-enact the per-tick incremental solves on the
+        assembled graphs (posegraph.replay_iterative), segmented across
+        device calls with self-calibrating lengths (TPU-tunnel watchdog)."""
+        import time as _time
+
+        t_live = t_total - 1
+        p_sol, l_sol = graphs_c.poses_sol, graphs_c.lms_sol
+        quant = [10, 25, 50, 125]
+        seg_len = min(10, t_live)
+        target_s = 25.0
+        i = 0
+        n_calls = 0
+        while i < t_live:
+            j = min(i + seg_len, t_live)
+            n = j - i
+            fn = rep_fns.get(n)
+            if fn is None:
+                fn = jax.jit(
+                    jax.vmap(
+                        lambda s, tk, p, l, m: posegraph.replay_iterative(
+                            cfg, s, tk, p, l, m
+                        ),
+                        in_axes=(0, None, 0, 0, 0),
+                    )
+                )
+                rep_fns[n] = fn
+            t0 = _time.perf_counter()
+            p_sol, l_sol = fn(
+                graphs_c, jnp.arange(i, j, dtype=jnp.int32),
+                p_sol, l_sol, m_at_c,
+            )
+            jax.block_until_ready(p_sol)
+            elapsed = _time.perf_counter() - t0
+            i = j
+            n_calls += 1
+            if n_calls == 1:
+                continue  # first call timing includes compile
+            if n_calls == 2:
+                rate = elapsed / n
+                fit = [q for q in quant if rate * q <= target_s]
+                seg_len = fit[-1] if fit else quant[0]
+            if 0 < t_live - i < seg_len:
+                seg_len = t_live - i
+        g2 = graphs_c.replace(poses_sol=p_sol, lms_sol=l_sol)
+        # the scan path runs solve_iteration on the final (non-live) tick
+        # too, re-seeding node T-1 from poses_init and re-solving once
+        fn = rep_fns.get("final")
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(
+                    lambda s: posegraph.solve_iteration(
+                        cfg, s, s.M, node_t=jnp.int32(t_total - 1)
+                    )
+                )
+            )
+            rep_fns["final"] = fn
+        return fn(g2)
 
     graphs_parts, err_sec_parts, max_sec_parts, true_parts = [], [], [], []
     for i in range(0, batch, world_chunk):
@@ -560,7 +630,11 @@ def run_monte_carlo_pg_streams(
                 emit_traj=True, interpret=interpret,
             )
             est_c = out["est_traj"]
-        graphs_c, err_sec_c, max_sec_c = assemble_chunk(est_c, st_c, cmds_c)
+        graphs_c, m_at_c, err_sec_c, max_sec_c = assemble_chunk(
+            est_c, st_c, cmds_c
+        )
+        if iterative:
+            graphs_c = replay_chunk(graphs_c, m_at_c)
         graphs_parts.append(jax.tree.map(np.asarray, graphs_c))
         err_sec_parts.append(np.asarray(err_sec_c))
         max_sec_parts.append(np.asarray(max_sec_c))

@@ -1523,6 +1523,56 @@ def solve_pcg_gn(
     return poses, lms
 
 
+def replay_iterative(
+    cfg: Config, s: PoseGraphState, ticks, poses_sol, lms_sol, m_at,
+):
+    """Re-enact the per-tick incremental solves of iterative mode
+    (solve_graph_every_iteration, pose_graph.cpp:262-267) OUTSIDE the
+    sim/filter loop, on a fully-assembled graph (assemble_streams).
+
+    For each live tick t in `ticks` (traced values, static length — segment
+    the full range across device calls freely): present the graph exactly as it
+    stood at the end of tick t (prefix masks on odometry/measurement rows,
+    timestep t+1, landmark count m_at[t]), copy the newly-added node's seed
+    into the warm solution, and run the same solve_pcg_gn step the in-scan
+    `solve_iteration` runs — so the replayed poses_sol/lms_sol trajectory is
+    the scan path's, with the sim and secondary costs removed and the whole
+    batch solving in one fused scan per time segment.
+
+    m_at: (T,) landmark count at the END of each tick
+    (m_at[t] = #{first sightings <= t}). Returns (poses_sol', lms_sol').
+    """
+    pg = cfg.pose_graph
+    t_cap = s.odom.shape[0]
+    tidx = jnp.arange(t_cap)
+
+    def tick_body(carry, t):
+        poses_sol, lms_sol = carry
+        m_prev = jnp.where(t > 0, m_at[jnp.maximum(t - 1, 0)], 0)
+        s_t = s.replace(
+            timestep=(t + 1).astype(jnp.int32),
+            M=m_at[t],
+            odom_valid=s.odom_valid & (tidx <= t),
+            meas_valid=s.meas_valid & (tidx <= t)[:, None],
+        )
+        new_row = jax.lax.dynamic_slice_in_dim(s.poses_init, t + 1, 1, axis=0)
+        poses0 = jax.lax.dynamic_update_slice_in_dim(
+            poses_sol, new_row, t + 1, axis=0
+        )
+        slot = jnp.arange(s.lms_init.shape[0])[:, None]
+        lms0 = jnp.where(slot < m_prev, lms_sol, s.lms_init)
+        poses_new, lms_new = solve_pcg_gn(
+            cfg, s_t, poses0, lms0, n_gn=pg.gn_steps_per_tick,
+            n_cg=pg.pcg_iters,
+        )
+        return (poses_new, lms_new), None
+
+    (poses_sol, lms_sol), _ = jax.lax.scan(
+        tick_body, (poses_sol, lms_sol), jnp.asarray(ticks, jnp.int32)
+    )
+    return poses_sol, lms_sol
+
+
 def solve_iteration(
     cfg: Config, s: PoseGraphState, m_prev, node_t=None
 ) -> PoseGraphState:

@@ -576,3 +576,26 @@ def test_streams_path_matches_scan_path_ekf():
         res_str["err_pose_graph_result"],
         res_scan["err_pose_graph_result"], atol=5e-3,
     )
+
+
+def test_streams_path_iterative_matches_scan_path():
+    """Iterative mode through the streams path: posegraph.replay_iterative
+    re-enacts the scan path's per-tick incremental solves on the assembled
+    graph — final PGS metrics match the scan path for the same keys."""
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo_pg_streams
+
+    cfg = _small_cfg()  # default: solve_graph_every_iteration=True
+    assert cfg.pose_graph.solve_graph_every_iteration
+    key = jax.random.PRNGKey(4)
+    res_scan, _, _ = run_monte_carlo(
+        cfg, key, batch=2, seed=3, collect="poses"
+    )
+    res_str, _, _ = run_monte_carlo_pg_streams(cfg, key, batch=2, seed=3)
+
+    np.testing.assert_allclose(
+        res_str["err_naive"], res_scan["err_naive"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        res_str["err_pose_graph_result"],
+        res_scan["err_pose_graph_result"], atol=2e-3,
+    )
