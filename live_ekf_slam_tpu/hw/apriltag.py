@@ -36,6 +36,112 @@ def quat_to_mat(w, x, y, z):
     )
 
 
+_TAG_FAMILIES = (
+    "tagStandard52h13", "tagStandard41h12", "tag36h11", "tag25h9",
+    "tag16h5", "tagCustom48h12", "tagCircle21h7", "tagCircle49h12",
+)
+
+
+@dataclass
+class DetectorSettings:
+    """AprilTag detector configuration, the reference's
+    landmark_detection_pkg/config/settings.yaml schema (apriltag_ros
+    parameter names) — loads the reference file unchanged."""
+
+    tag_family: str = "tag36h11"
+    tag_threads: int = 2
+    tag_decimate: float = 1.0
+    tag_blur: float = 0.0
+    tag_refine_edges: int = 1
+    tag_debug: int = 0
+    max_hamming_dist: int = 2
+    publish_tf: bool = True
+    transport_hint: str = "raw"
+
+    def __post_init__(self):
+        if self.tag_family not in _TAG_FAMILIES:
+            raise ValueError(
+                f"unknown tag_family {self.tag_family!r}; "
+                f"options: {_TAG_FAMILIES}"
+            )
+        if self.max_hamming_dist < 0:
+            raise ValueError("max_hamming_dist must be >= 0")
+
+    @classmethod
+    def from_yaml(cls, path):
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {k: raw[k] for k in cls.__dataclass_fields__ if k in raw}
+        return cls(**known)
+
+
+@dataclass
+class StandaloneTag:
+    """One entry of tags.yaml's standalone_tags (id, size in meters,
+    optional name)."""
+
+    id: int
+    size: float
+    name: str | None = None
+
+
+@dataclass
+class TagRegistry:
+    """The reference's landmark_detection_pkg/config/tags.yaml schema:
+    standalone tag definitions (+ tag bundles, carried but unused like the
+    reference's empty list). Only registered tags become landmark
+    measurements — the detector-side id filter the reference delegates to
+    apriltag_ros."""
+
+    standalone_tags: list = None
+    tag_bundles: list = None
+
+    def __post_init__(self):
+        self.standalone_tags = [
+            t if isinstance(t, StandaloneTag) else StandaloneTag(**t)
+            for t in (self.standalone_tags or [])
+        ]
+        self.tag_bundles = list(self.tag_bundles or [])
+        ids = [t.id for t in self.standalone_tags]
+        if len(ids) != len(set(ids)):
+            raise ValueError("duplicate tag ids in standalone_tags")
+
+    @classmethod
+    def from_yaml(cls, path):
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls(
+            standalone_tags=raw.get("standalone_tags", []),
+            tag_bundles=raw.get("tag_bundles", []),
+        )
+
+    @property
+    def ids(self):
+        return {t.id for t in self.standalone_tags}
+
+    def size_of(self, tag_id: int):
+        for t in self.standalone_tags:
+            if t.id == tag_id:
+                return t.size
+        return None
+
+    def filter_detections(self, detections):
+        """Keep only detections of registered tags (unknown ids are noise —
+        apriltag_ros only estimates poses for configured tags)."""
+        return [d for d in detections if d.tag_id in self.ids]
+
+
+def load_detector_config(settings_path, tags_path):
+    """Load the reference's (settings.yaml, tags.yaml) pair unchanged."""
+    return DetectorSettings.from_yaml(settings_path), TagRegistry.from_yaml(
+        tags_path
+    )
+
+
 @dataclass
 class TagDetection:
     tag_id: int

@@ -460,3 +460,71 @@ def test_async_viz_ukf_and_posegraph_headless():
         )
         avg = C.run_demo(cfg, seed=0, live=True)
         assert np.isfinite(avg)
+
+
+def test_apriltag_detector_config_schema():
+    """hw.apriltag: the reference's landmark_detection_pkg config pair
+    (settings.yaml tag36h11 detector params, tags.yaml standalone tag
+    registry) loads unchanged and filters detections to registered ids."""
+    import textwrap
+
+    from live_ekf_slam_tpu.hw.apriltag import (
+        DetectorSettings, TagDetection, TagRegistry, load_detector_config,
+    )
+
+    settings_yaml = textwrap.dedent("""\
+        tag_family:        'tag36h11'
+        tag_threads:       2
+        tag_decimate:      1.0
+        tag_blur:          0.0
+        tag_refine_edges:  1
+        tag_debug:         0
+        max_hamming_dist:  2
+        publish_tf:        true
+        transport_hint:    "raw"
+    """)
+    tags_yaml = textwrap.dedent("""\
+        standalone_tags:
+          [
+            {id: 0, size: 0.054},
+            {id: 1, size: 0.054},
+            {id: 8, size: 0.02635},
+          ]
+        tag_bundles:
+          [
+          ]
+    """)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sp = os.path.join(d, "settings.yaml")
+        tp = os.path.join(d, "tags.yaml")
+        with open(sp, "w") as f:
+            f.write(settings_yaml)
+        with open(tp, "w") as f:
+            f.write(tags_yaml)
+        settings, registry = load_detector_config(sp, tp)
+
+    assert settings.tag_family == "tag36h11"
+    assert settings.max_hamming_dist == 2
+    assert registry.ids == {0, 1, 8}
+    assert registry.size_of(8) == 0.02635
+    assert registry.size_of(99) is None
+
+    dets = [
+        TagDetection(tag_id=0, translation=(1.0, 0.0, 0.5)),
+        TagDetection(tag_id=99, translation=(2.0, 0.0, 0.5)),
+        TagDetection(tag_id=8, translation=(0.5, 0.2, 0.5)),
+    ]
+    kept = registry.filter_detections(dets)
+    assert [d.tag_id for d in kept] == [0, 8]
+
+    # invalid configs are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        DetectorSettings(tag_family="not_a_family")
+    with pytest.raises(ValueError):
+        TagRegistry(standalone_tags=[
+            {"id": 0, "size": 0.05}, {"id": 0, "size": 0.05},
+        ])
