@@ -1,0 +1,74 @@
+"""Measure the UKF chol-mode divergence tail at scale (VERDICT r2 weak #3):
+512 per-world-unique worlds x T=1000, count worlds with any update
+rejection, coasting worlds, and the mean/median error gap.
+
+Usage: python scripts/ukf_tail_check.py [--worlds 512] [--t 1000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=512)
+    ap.add_argument("--t", type=int, default=1000)
+    ap.add_argument("--block", type=int, default=128)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from live_ekf_slam_tpu.config import Config
+    from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout
+    from live_ekf_slam_tpu.sim import maps as sim_maps
+    from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
+
+    cfg = Config(num_iterations=args.t).replace(filter="ukf_slam")
+    cfg = cfg.replace(ukf=dataclasses.replace(cfg.ukf, sigma_sqrt="chol"))
+    rng = np.random.default_rng(0)
+    lms = jnp.asarray(sim_maps.random_landmarks_batched(cfg, rng, args.worlds))
+    keys = jax.random.split(jax.random.PRNGKey(1), args.worlds)
+    cmds = jax.jit(
+        jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
+    )(lms, keys)
+    jax.block_until_ready(cmds)
+
+    t0 = time.perf_counter()
+    out = fused_ukf_rollout(cfg, lms, cmds, 0, slam=True,
+                            block_worlds=args.block)
+    err = np.asarray(out["err_sum"]) / args.t
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fused_ukf_rollout(cfg, lms, cmds, 1, slam=True,
+                            block_worlds=args.block)
+    err = np.asarray(out["err_sum"]) / args.t
+    elapsed = time.perf_counter() - t0
+    rejects = np.asarray(out["update_rejects"])
+    err_max = np.asarray(out["err_max"])
+
+    print(json.dumps({
+        "worlds": args.worlds, "t": args.t,
+        "steps_per_s_per_world": round(args.t / elapsed, 1),
+        "warmup_s": round(warm, 1),
+        "mean_err": round(float(np.nanmean(err)), 4),
+        "median_err": round(float(np.nanmedian(err)), 4),
+        "worlds_with_any_reject": int((rejects > 0).sum()),
+        "total_rejects": int(rejects.sum()),
+        "worlds_err_over_1m": int((err > 1.0).sum()),
+        "worlds_diverged_50m": int((err_max > 50.0).sum()),
+        "max_err": round(float(np.nanmax(err)), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
