@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--worlds", type=int, default=512)
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--relabel", action="store_true",
+                    help="TSP-visit-order landmark relabeling (bench protocol)")
     args = ap.parse_args()
 
     import dataclasses
@@ -38,9 +40,18 @@ def main():
     rng = np.random.default_rng(0)
     lms = jnp.asarray(sim_maps.random_landmarks_batched(cfg, rng, args.worlds))
     keys = jax.random.split(jax.random.PRNGKey(1), args.worlds)
-    cmds = jax.jit(
-        jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
-    )(lms, keys)
+    if args.relabel:
+        def gen1(l, k):
+            cmds, tour = generate_trajectory(
+                cfg, l, l.shape[0], k, return_tour=True
+            )
+            return cmds, l[tour]
+
+        cmds, lms = jax.jit(lambda ls, ks: jax.vmap(gen1)(ls, ks))(lms, keys)
+    else:
+        cmds = jax.jit(
+            jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
+        )(lms, keys)
     jax.block_until_ready(cmds)
 
     t0 = time.perf_counter()
