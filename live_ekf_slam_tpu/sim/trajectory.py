@@ -22,6 +22,15 @@ def _nn_tour(noisy_lm, start_pose, n_active):
 
     Ties and the strict-< scan of the reference both resolve to the lowest
     index, which argmin reproduces. Inactive slots are excluded via +inf.
+
+    The visited set is maintained as a one-hot compare-OR and the current
+    point is read back with a one-hot reduction rather than ``.at[].set`` /
+    integer indexing: the batched scatter/gather lowering of those inside a
+    vmapped scan miscompiles on the axon TPU backend at batch >= 1024
+    (producing stale ``visited`` reads, hence duplicate tour entries —
+    verified bitwise against CPU, see scripts/relabel_diag.py). The one-hot
+    form is also the natural TPU lowering: a vector compare + select instead
+    of a serialized scatter.
     """
     n_cap = noisy_lm.shape[0]
     idx = jnp.arange(n_cap)
@@ -33,12 +42,15 @@ def _nn_tour(noisy_lm, start_pose, n_active):
 
     def body(carry, _):
         cur, visited = carry
-        d = jnp.linalg.norm(noisy_lm - noisy_lm[cur][None], axis=1)
+        cur_pt = jnp.sum(
+            jnp.where((idx == cur)[:, None], noisy_lm, 0.0), axis=0
+        )
+        d = jnp.linalg.norm(noisy_lm - cur_pt[None], axis=1)
         d = jnp.where(active & ~visited, d, big)
         nxt = jnp.argmin(d)
-        return (nxt, visited.at[nxt].set(True)), nxt
+        return (nxt, visited | (idx == nxt)), nxt
 
-    visited0 = jnp.zeros(n_cap, bool).at[first].set(True)
+    visited0 = idx == first
     (_, _), rest = jax.lax.scan(body, (first, visited0), None, length=n_cap - 1)
     tour = jnp.concatenate([first[None], rest])
     # pad slots beyond n_active cycle back onto the active prefix
@@ -81,12 +93,23 @@ def generate_trajectory(
     th_max = cfg.constraints.commands.th_max
     thresh = cfg.trajectory_gen.visitation_threshold
 
+    slot_idx = jnp.arange(n_cap)
+
+    def _goal_at(ptr):
+        # one-hot reduction instead of tour_pts[ptr % n_active]: batched
+        # gather inside a vmapped scan miscompiles on the axon TPU backend
+        # at batch >= 1024 (see _nn_tour docstring).
+        k = ptr % jnp.maximum(n_active, 1)
+        return jnp.sum(
+            jnp.where((slot_idx == k)[:, None], tour_pts, 0.0), axis=0
+        )
+
     def body(carry, _):
         x, ptr = carry
-        goal = tour_pts[ptr % jnp.maximum(n_active, 1)]
+        goal = _goal_at(ptr)
         arrived = jnp.linalg.norm(x[:2] - goal) < thresh
         ptr = jnp.where(arrived, ptr + 1, ptr)
-        goal = tour_pts[ptr % jnp.maximum(n_active, 1)]
+        goal = _goal_at(ptr)
         diff = goal - x[:2]
         d = jnp.minimum(jnp.linalg.norm(diff), d_max)
         gb = jnp.arctan2(diff[1], diff[0])
