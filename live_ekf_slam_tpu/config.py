@@ -295,6 +295,14 @@ class Config:
     # the XLA and Pallas paths exactly comparable).
     sim_noise_scale: float = 1.0
 
+    # Honest-mode refinement (core/noise.py): the EKF/UKF predict uses the
+    # clip-aware expected executed command + true clipped-uniform process
+    # variance, and the measurement noise uses the true U(-W, W) variance
+    # W^2/3 — instead of the reference's half-width-as-variance convention
+    # (filter.h:110-117). The same bias/variance correction the pose graph's
+    # honest mode gets from _odom_moments. No effect in compat mode.
+    calibrated_motion: bool = False
+
     # ---- launch-arg equivalents (sim_base.launch:11-15) ----
     occ_map_img: str = "blank.jpg"
     landmark_map: str = "random"  # demo | grid | random | igvc1

@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.noise import (
+    calibrated_meas_vars,
+    motion_moments,
+    use_calibrated,
+)
 from live_ekf_slam_tpu.core.types import GaussianState, Measurements
 from live_ekf_slam_tpu.ops.precision import dot32, sel_cols
 from live_ekf_slam_tpu.utils.geometry import wrap_angle
@@ -59,11 +64,19 @@ def predict(cfg: Config, s: GaussianState, cmd):
     (v00, v11), _ = cfg.filter_noise()
     v_d, v_th = cfg.process_noise.v_d, cfg.process_noise.v_th
     d_cmd, th_cmd = cmd[0], cmd[1]
+    if use_calibrated(cfg):
+        # clip-aware expected motion + true clipped-uniform process variance
+        # (core/noise.py); eff_* already include the v_d/v_th means
+        eff_d, eff_th, v00, v11 = motion_moments(cfg, d_cmd, th_cmd)
+        jac_d = eff_d
+    else:
+        eff_d, eff_th = d_cmd + v_d, th_cmd + v_th
+        jac_d = d_cmd  # F_x built from the raw command (ekf.cpp:47-50)
     th = s.x[2]
     c, si = jnp.cos(th), jnp.sin(th)
     dvec = s.x.shape[0]
 
-    u = jnp.zeros(dvec, jnp.float32).at[0].set(-d_cmd * si).at[1].set(d_cmd * c)
+    u = jnp.zeros(dvec, jnp.float32).at[0].set(-jac_d * si).at[1].set(jac_d * c)
     fp = s.P + jnp.outer(u, s.P[2, :])
     p_pred = fp + jnp.outer(fp[:, 2], u)
     # F_v V F_v^T contributes only to the top-left 3x3 (ekf.cpp:51-54).
@@ -79,11 +92,11 @@ def predict(cfg: Config, s: GaussianState, cmd):
 
     x_pred = (
         s.x.at[0]
-        .add((d_cmd + v_d) * c)
+        .add(eff_d * c)
         .at[1]
-        .add((d_cmd + v_d) * si)
+        .add(eff_d * si)
         .at[2]
-        .set(wrap_angle(th + th_cmd + v_th))
+        .set(wrap_angle(th + eff_th))
     )
     return x_pred, p_pred
 
@@ -239,6 +252,8 @@ def update(cfg: Config, s: GaussianState, cmd, meas: Measurements) -> GaussianSt
     """One full EKF iteration (ekf.cpp:37-178): predict, then sequential
     per-measurement updates in slot order."""
     _, (w00, w11) = cfg.filter_noise()
+    if use_calibrated(cfg):
+        w00, w11 = calibrated_meas_vars(cfg)
     w_diag = jnp.array([w00, w11], jnp.float32)
     x_pred, p_pred = predict(cfg, s, cmd)
 

@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.noise import (
+    calibrated_meas_vars,
+    motion_moments,
+    use_calibrated,
+)
 from live_ekf_slam_tpu.core.types import Measurements, UKFState
 from live_ekf_slam_tpu.ops.precision import dot32, sel_cols
 from live_ekf_slam_tpu.utils.geometry import wrap_angle
@@ -122,14 +127,15 @@ def _yaw_of(x):
     return wrap_angle(jnp.arctan2(x[3], x[2]))
 
 
-def _motion_model(cfg: Config, xcol, u_d, u_th):
-    """ukf.cpp:125-135 applied to one sigma column (vectorized via vmap)."""
-    v_d, v_th = cfg.process_noise.v_d, cfg.process_noise.v_th
+def _motion_model(cfg: Config, xcol, eff_d, eff_th):
+    """ukf.cpp:125-135 applied to one sigma column (vectorized via vmap).
+    eff_d/eff_th are the effective executed-motion means (command + noise
+    mean, or the clip-aware expectation under calibrated_motion)."""
     yaw = wrap_angle(jnp.arctan2(xcol[3], xcol[2]))
-    new_yaw = wrap_angle(yaw + u_th + v_th)
+    new_yaw = wrap_angle(yaw + eff_th)
     return (
-        xcol.at[0].add((u_d + v_d) * jnp.cos(yaw))
-        .at[1].add((u_d + v_d) * jnp.sin(yaw))
+        xcol.at[0].add(eff_d * jnp.cos(yaw))
+        .at[1].add(eff_d * jnp.sin(yaw))
         .at[2].set(jnp.cos(new_yaw))
         .at[3].set(jnp.sin(new_yaw))
     )
@@ -138,6 +144,12 @@ def _motion_model(cfg: Config, xcol, u_d, u_th):
 def predict(cfg: Config, s: UKFState, cmd, slam: bool):
     """Prediction stage (ukf.cpp:197-241). Returns (x_pred, P_pred, X, Wts)."""
     (v00, v11), _ = cfg.filter_noise()
+    v_d, v_th = cfg.process_noise.v_d, cfg.process_noise.v_th
+    if use_calibrated(cfg):
+        # clip-aware executed-motion moments (core/noise.py)
+        eff_d, eff_th, v00, v11 = motion_moments(cfg, cmd[0], cmd[1])
+    else:
+        eff_d, eff_th = cmd[0] + v_d, cmd[1] + v_th
     du = s.x.shape[0]
     n_active = 4 + 2 * s.M if slam else jnp.int32(4)
 
@@ -178,7 +190,7 @@ def predict(cfg: Config, s: UKFState, cmd, slam: bool):
 
     x_pred_sig = jax.vmap(
         partial(_motion_model, cfg), in_axes=(1, None, None), out_axes=1
-    )(x_sig, cmd[0], cmd[1])
+    )(x_sig, eff_d, eff_th)
 
     wts = _weights(cfg, du, n_active)
     x_pred = dot32(x_pred_sig, wts)
@@ -260,9 +272,15 @@ def _landmark_update(cfg, carry, r, b, li, wts, committed_yaw, true_map, w_diag,
         # inconsistent — a diverged world then coasts on prediction instead
         # of spiraling to NaN and poisoning batch statistics.
         r_gate = 2.0 * cfg.constraints.vision.range_max
+        # scale-aware determinant floor: calibrated-mode R is ~300x smaller
+        # in variance, so a fixed 1e-12 would reject legitimate updates;
+        # keep the historical floor whenever it is the smaller of the two
+        det_gate = jnp.minimum(
+            jnp.float32(1e-12), jnp.float32(1e-6) * w_diag[0] * w_diag[1]
+        )
         sane = (
             (jnp.abs(innov[0]) < r_gate)
-            & (det_raw > 1e-12)
+            & (det_raw > det_gate)
             & (ss[0, 0] > 0.0)
             & (ss[1, 1] > 0.0)
             & jnp.isfinite(innov[0])
@@ -299,6 +317,8 @@ def update(
     """One full UKF iteration (ukf.cpp:161-195): predict, all landmark
     *updates* first, then all *insertions* (ukf.cpp:251-287)."""
     _, (w00, w11) = cfg.filter_noise()
+    if use_calibrated(cfg):
+        w00, w11 = calibrated_meas_vars(cfg)
     w_diag = jnp.array([w00, w11], jnp.float32)
     du = s.x.shape[0]
     n_cap = s.ids.shape[0]

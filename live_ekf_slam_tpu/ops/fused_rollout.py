@@ -53,6 +53,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.noise import (
+    calibrated_meas_vars,
+    motion_moments,
+    use_calibrated,
+)
 from live_ekf_slam_tpu.ops.kernel_math import (
     atan2 as _atan2,
     round_up as _round_up,
@@ -69,6 +74,11 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                  predicated: bool = True, emit_traj: bool = False):
     """Builds the kernel body, specialized on the static config."""
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
+    calibrated = use_calibrated(cfg)
+    if calibrated:
+        # true U(-W, W) measurement variances (core/noise.py); the process
+        # moments are per-tick (clip-aware) and computed inside the tick
+        w00f, w11f = calibrated_meas_vars(cfg)
     nz = cfg.sim_noise_scale
     v00s = cfg.process_noise.V_00 * nz  # sim noise half-widths (true values)
     v11s = cfg.process_noise.V_11 * nz
@@ -168,8 +178,17 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
             th = x_ref[2:3, :]
             c = jnp.cos(th)
             s = jnp.sin(th)
-            u0 = -fwd * s  # F_x(0,2)
-            u1 = fwd * c   # F_x(1,2)
+            if calibrated:
+                # clip-aware expected executed command + true clipped
+                # variances, per tick on (1, BL) lanes (core/noise.py)
+                eff_d, eff_th, var_d, var_th = motion_moments(cfg, fwd, ang)
+                jac_d = eff_d
+            else:
+                eff_d, eff_th = fwd + v_d, ang + v_th
+                var_d, var_th = v00f, v11f
+                jac_d = fwd  # F_x from the raw command (ekf.cpp:47-50)
+            u0 = -jac_d * s  # F_x(0,2)
+            u1 = jac_d * c   # F_x(1,2)
             row2 = p_ref[2, :, :]  # (DP, BL)
             p_ref[0, :, :] = p_ref[0, :, :] + u0 * row2
             p_ref[1, :, :] = p_ref[1, :, :] + u1 * row2
@@ -177,15 +196,15 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
             p_ref[:, 0:1, :] = p_ref[:, 0:1, :] + col2 * u0[None]
             p_ref[:, 1:2, :] = p_ref[:, 1:2, :] + col2 * u1[None]
             # F_v V F_v^T on the top-left 3x3 (ekf.cpp:51-54)
-            p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * v00f
-            p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * v00f
-            p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * v00f
-            p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * v00f
-            p_ref[2, 2:3, :] = p_ref[2, 2:3, :] + v11f
+            p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * var_d
+            p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * var_d
+            p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * var_d
+            p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * var_d
+            p_ref[2, 2:3, :] = p_ref[2, 2:3, :] + var_th
 
-            x_ref[0:1, :] = x_ref[0:1, :] + (fwd + v_d) * c
-            x_ref[1:2, :] = x_ref[1:2, :] + (fwd + v_d) * s
-            x_ref[2:3, :] = _wrap(th + ang + v_th)
+            x_ref[0:1, :] = x_ref[0:1, :] + eff_d * c
+            x_ref[1:2, :] = x_ref[1:2, :] + eff_d * s
+            x_ref[2:3, :] = _wrap(th + eff_th)
 
             if stale:
                 x_committed = x_ref[:, :]  # value snapshot before updates

@@ -54,6 +54,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.noise import (
+    calibrated_meas_vars,
+    motion_moments,
+    use_calibrated,
+)
 from live_ekf_slam_tpu.ops.kernel_math import (
     atan2 as _atan2,
     round_up as _round_up,
@@ -69,6 +74,12 @@ _CHOL_EPS = 1e-8
 def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                  bl: int, slam: bool, inject_noise: bool, predicated: bool):
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()
+    calibrated = use_calibrated(cfg)
+    if calibrated:
+        w00f, w11f = calibrated_meas_vars(cfg)
+    # scale-aware determinant floor for the update sanity gate (see
+    # models/ukf.py): calibrated R is ~300x smaller in variance
+    det_gate = min(1e-12, 1e-6 * w00f * w11f)
     nz = cfg.sim_noise_scale
     v00s = cfg.process_noise.V_00 * nz
     v11s = cfg.process_noise.V_11 * nz
@@ -185,21 +196,46 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
             wm = wbar * colmask  # (DUP, BL) weight of column pair j
 
             # pivot-clamped Cholesky of P*scale, in place in l_ref
-            # (models/ukf.py:chol_clamped is the jittable oracle twin)
+            # (models/ukf.py:chol_clamped is the jittable oracle twin).
+            # Pivots at or above the block's active-dimension bound are
+            # skipped (slam): rows/cols of never-inserted slots are exactly
+            # zero by induction, so those pivot steps are exact no-ops
+            # whose trailing sweeps are the kernel's single largest cost
+            # (micro_ukf.py: 14.2 us of a 57 us block-tick). The factor's
+            # inactive columns stay all-zero instead of carrying the
+            # clamped 1e-4 diagonal — identical results because every
+            # consumer weights those columns by wm = 0.
+            if slam:
+                seen_any = jnp.max(seen_ref[:, :], axis=1, keepdims=True)
+                sl_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_lm, 1), 0
+                )
+                dmax_vec = jnp.max(
+                    jnp.where(seen_any > 0.0, sl_iota + 1, 0),
+                    axis=0, keepdims=True,
+                )  # (1, 1) highest seen slot + 1
+                dmax = 4 + 2 * dmax_vec[0, 0]
             l_ref[:, :, :] = p_ref[:, :, :] * scale[None, :, :]
             for j in range(du):
-                pivot = l_ref[j, j:j + 1, :]  # (1, BL)
-                ok = (pivot > _CHOL_EPS).astype(jnp.float32)
-                dval = jnp.sqrt(jnp.maximum(pivot, _CHOL_EPS))
-                colv = l_ref[:, j, :]  # (DUP, BL)
-                below = jnp.where(iota > j, colv, 0.0) * (ok / dval)
-                if j + 1 < du:
-                    l_ref[j + 1:, :, :] = (
-                        l_ref[j + 1:, :, :]
-                        - below[:, None, :][j + 1:] * below[None, :, :]
-                    )
-                colfinal = below + jnp.where(iota == j, 1.0, 0.0) * dval
-                l_ref[:, j:j + 1, :] = colfinal[:, None, :]
+
+                def _pivot(j=j):
+                    pivot = l_ref[j, j:j + 1, :]  # (1, BL)
+                    ok = (pivot > _CHOL_EPS).astype(jnp.float32)
+                    dval = jnp.sqrt(jnp.maximum(pivot, _CHOL_EPS))
+                    colv = l_ref[:, j, :]  # (DUP, BL)
+                    below = jnp.where(iota > j, colv, 0.0) * (ok / dval)
+                    if j + 1 < du:
+                        l_ref[j + 1:, :, :] = (
+                            l_ref[j + 1:, :, :]
+                            - below[:, None, :][j + 1:] * below[None, :, :]
+                        )
+                    colfinal = below + jnp.where(iota == j, 1.0, 0.0) * dval
+                    l_ref[:, j:j + 1, :] = colfinal[:, None, :]
+
+                if slam and predicated and j >= 4:
+                    pl.when(j < dmax)(_pivot)
+                else:
+                    _pivot()
 
             # sigma vehicle rows: center and +/- halves (columns on sublanes)
             la0 = l_ref[0, :, :]
@@ -209,8 +245,13 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
             xv0 = x_ref[0:1, :]
             xv1 = x_ref[1:2, :]
 
-            mv = fwd + v_d  # commanded forward + noise mean
-            ath = ang + v_th
+            if calibrated:
+                # clip-aware executed-motion moments (core/noise.py)
+                mv, ath, var_d, var_th = motion_moments(cfg, fwd, ang)
+            else:
+                mv = fwd + v_d  # commanded forward + noise mean
+                ath = ang + v_th
+                var_d, var_th = v00f, v11f
 
             def propagate(px, py, pc, ps):
                 yaw = _atan2(ps, pc)
@@ -264,17 +305,17 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
             syawv = jnp.sin(yaw_c)
             if signed_q:
                 qd = {
-                    (0, 0): v00f * cyawv, (1, 1): v00f * syawv,
-                    (2, 2): v11f * cyawv, (3, 3): v11f * syawv,
+                    (0, 0): var_d * cyawv, (1, 1): var_d * syawv,
+                    (2, 2): var_th * cyawv, (3, 3): var_th * syawv,
                 }
             else:
                 qd = {
-                    (0, 0): v00f * cyawv * cyawv,
-                    (0, 1): v00f * cyawv * syawv,
-                    (1, 1): v00f * syawv * syawv,
-                    (2, 2): v11f * syawv * syawv,
-                    (2, 3): -v11f * cyawv * syawv,
-                    (3, 3): v11f * cyawv * cyawv,
+                    (0, 0): var_d * cyawv * cyawv,
+                    (0, 1): var_d * cyawv * syawv,
+                    (1, 1): var_d * syawv * syawv,
+                    (2, 2): var_th * syawv * syawv,
+                    (2, 3): -var_th * cyawv * syawv,
+                    (3, 3): var_th * cyawv * cyawv,
                 }
             p44 = {}
             for a in range(4):
@@ -429,7 +470,7 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                     # so a diverged world coasts instead of going NaN
                     sane = (
                         (jnp.abs(nu_r) < 2.0 * r_max)
-                        & (det_raw > 1e-12)
+                        & (det_raw > det_gate)
                         & (s00 > 0.0)
                         & (s11 > 0.0)
                     ).astype(jnp.float32)
