@@ -12,6 +12,9 @@ batch of independent worlds and shardable over a device mesh (see parallel/).
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 from typing import Any
 
 import jax
@@ -27,6 +30,15 @@ from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 from live_ekf_slam_tpu.sim.world import init_world, sim_step
 
 ONLINE_FILTERS = ("ekf_slam", "ukf_loc", "ukf_slam", "naive")
+
+
+def _vlog(msg: str) -> None:
+    """Progress logging for long TPU runs, gated on LIVE_EKF_VERBOSE=1.
+    Long Monte-Carlo runs ride a remote-TPU tunnel that can drop mid-run;
+    timestamped progress lines are what make those failures localizable."""
+    if os.environ.get("LIVE_EKF_VERBOSE"):
+        print(f"[runner {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
 
 
 @struct.dataclass
@@ -489,7 +501,9 @@ def run_monte_carlo_pg_streams(
     calls as the in-scan path, minus the per-tick sim/filter overhead). The
     scan path remains the reference implementation.
 
-    Returns the same results dict shape as run_monte_carlo.
+    Returns (results, None, None): the same results dict shape as
+    run_monte_carlo; graph tensors stay on device (chunk-local) and are not
+    returned — per-chunk solves read back only per-world metric vectors.
     """
     if cfg.filter != "pose_graph":
         raise ValueError("run_monte_carlo_pg_streams requires filter=pose_graph")
@@ -581,8 +595,14 @@ def run_monte_carlo_pg_streams(
                 graphs_c, jnp.arange(i, j, dtype=jnp.int32),
                 p_sol, l_sol, m_at_c,
             )
-            jax.block_until_ready(p_sol)
+            # force a REAL sync: on the axon remote backend
+            # block_until_ready returns before execution finishes (observed
+            # 0.0s for 5s calls), which would (a) break this calibration and
+            # (b) let the dispatch queue grow until the tunnel starves. A
+            # scalar device read cannot complete before the value exists.
+            float(p_sol[0, 0, 0])
             elapsed = _time.perf_counter() - t0
+            _vlog(f"replay ticks {i}..{j} ({elapsed:.1f}s)")
             i = j
             n_calls += 1
             if n_calls == 1:
@@ -606,9 +626,13 @@ def run_monte_carlo_pg_streams(
                 )
             )
             rep_fns["final"] = fn
-        return fn(g2)
+        out = fn(g2)
+        float(out.poses_sol[0, 0, 0])  # real sync (see above)
+        _vlog("replay final solve done")
+        return out
 
-    graphs_parts, err_sec_parts, max_sec_parts, true_parts = [], [], [], []
+    err_sec_parts, max_sec_parts = [], []
+    err_pg_parts, err_pgi_parts = [], []
     for i in range(0, batch, world_chunk):
         lms_c = lms_all[i: i + world_chunk]
         keys_c = keys[i: i + world_chunk]
@@ -635,31 +659,37 @@ def run_monte_carlo_pg_streams(
         )
         if iterative:
             graphs_c = replay_chunk(graphs_c, m_at_c)
-        graphs_parts.append(jax.tree.map(np.asarray, graphs_c))
+        # solve this chunk while its graph tensors are still device-resident
+        # and read back ONLY the per-world metric vectors. Reading back the
+        # full graph PyTree per chunk (the previous layout) queued a ~100 MB
+        # device->host transfer behind the replay's dispatched work, which
+        # starves the remote-TPU tunnel's transfer deadline at batch >= 128
+        # and kills the worker (observed UNAVAILABLE at the np.asarray).
+        err_pg_c, err_pgi_c = _pg_bulk_solve(
+            cfg, graphs_c, st_c["poses_true"], lms_c.shape[0], solve_chunk
+        )
+        err_pg_parts.append(err_pg_c)
+        err_pgi_parts.append(err_pgi_c)
         err_sec_parts.append(np.asarray(err_sec_c))
         max_sec_parts.append(np.asarray(max_sec_c))
-        true_parts.append(np.asarray(st_c["poses_true"]))
+        _vlog(f"worlds {i}..{i + lms_c.shape[0]}: done")
 
-    graphs = jax.tree.map(
-        lambda *xs: jnp.asarray(np.concatenate(xs)), *graphs_parts
-    )
     err_sec = np.concatenate(err_sec_parts)
     max_sec = np.concatenate(max_sec_parts)
-    true_poses = jnp.asarray(np.concatenate(true_parts))
 
     results = {
         "err_" + secondary: err_sec,
         "diverged_" + secondary: ~np.isfinite(max_sec)
         | (max_sec > DIVERGENCE_RADIUS),
     }
-    err_pg, err_pg_init = _pg_bulk_solve(
-        cfg, graphs, true_poses, batch, solve_chunk
-    )
+    err_pg = np.concatenate(err_pg_parts)
+    err_pg_init = np.concatenate(err_pgi_parts)
     results["err_pose_graph_result"] = err_pg
     results["err_pose_graph_initial"] = err_pg_init
     results["err_pose_graph"] = err_pg
     results["diverged_pose_graph"] = results["diverged_" + secondary]
-    return results, graphs, true_poses
+    # graph tensors never leave the device; callers only consume `results`
+    return results, None, None
 
 
 def _pg_bulk_solve(cfg: Config, primary, true_poses, batch, solve_chunk=8):
@@ -755,6 +785,7 @@ def _pg_bulk_solve(cfg: Config, primary, true_poses, batch, solve_chunk=8):
     for i in range(0, batch, solve_chunk):
         sub = jax.tree.map(lambda a: a[i: i + solve_chunk], primary)
         poses_sol = solve_sub(sub)
+        _vlog(f"bulk solve {i}..{min(i + solve_chunk, batch)}/{batch}")
         est = poses_sol[:, 1: t_total, :2]
         tr = true_poses[i: i + solve_chunk, : t_total - 1, :2]
         err_pg.append(

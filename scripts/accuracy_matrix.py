@@ -122,6 +122,8 @@ def main():
     ap.add_argument("--batch-chunk", type=int, default=128)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes to validate the harness")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore any existing output file (no resume)")
     ap.add_argument("--out", default="docs/accuracy_matrix.json")
     args = ap.parse_args()
     if args.smoke:
@@ -135,7 +137,7 @@ def main():
            "worlds_iter": args.worlds_iter, "configs": {}}
     # resume: reuse configs already completed in an existing output file
     # (the TPU tunnel occasionally drops the worker mid-run)
-    if os.path.exists(args.out) and not args.smoke:
+    if os.path.exists(args.out) and not args.smoke and not args.fresh:
         try:
             with open(args.out) as f:
                 prev = json.load(f)
@@ -193,22 +195,18 @@ def main():
             continue
         iterative = mode == "iter"
         worlds = args.worlds_iter if iterative else args.worlds
-        if secondary == "ekf_slam" and iterative and not args.smoke:
-            # the EKF-secondary ITERATIVE mode still rides the per-tick XLA
-            # path (launch-bound); one-time configs now use the streams path
-            # at full world counts
-            worlds = min(worlds, 128)
         cfg = make_cfg(base, noise, "pose_graph",
                        secondary=secondary, iterative=iterative)
         t0 = time.perf_counter()
         log(f"[{name}] {worlds} worlds ...")
-        # one-time configs: closed-form streams + vectorized assembly
-        # (run_monte_carlo_pg_streams) — accumulation at simulator speed;
-        # iterative mode keeps the faithful per-tick scan with smaller
-        # chunks (per-tick PCG scales with B)
-        impl = "streams" if not iterative and not args.smoke else "xla"
+        # all PGS configs ride the streams path (closed-form sim cumsums +
+        # vectorized graph assembly, run_monte_carlo_pg_streams); iterative
+        # mode re-enacts the per-tick incremental solves on the assembled
+        # graphs (posegraph.replay_iterative — same solver calls as the
+        # in-scan path). --smoke keeps the reference per-tick XLA scan.
+        impl = "xla" if args.smoke else "streams"
         chunk = args.batch_chunk if args.smoke else (
-            128 if iterative else 512)
+            256 if iterative else 512)
         res = run_config(cfg, worlds, chunk,
                          key_seed=zlib.crc32(name.encode()) % 100000,
                          collect="poses", impl=impl)
