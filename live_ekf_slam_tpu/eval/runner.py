@@ -31,6 +31,11 @@ from live_ekf_slam_tpu.sim.world import init_world, sim_step
 
 ONLINE_FILTERS = ("ekf_slam", "ukf_loc", "ukf_slam", "naive")
 
+# Graph-prefix window quantum for the iterative streams replay (see
+# run_monte_carlo_pg_streams.make_rep_fn); module-level so tests can shrink
+# it to exercise multi-window replays at small T.
+REPLAY_CAP_STEP = 256
+
 
 def _vlog(msg: str) -> None:
     """Progress logging for long TPU runs, gated on LIVE_EKF_VERBOSE=1.
@@ -563,33 +568,66 @@ def run_monte_carlo_pg_streams(
 
     rep_fns: dict = {}
 
+    def make_rep_fn(cap: int):
+        """Replay function specialized on a graph-prefix capacity `cap`:
+        tick t only involves graph rows <= t, so ticks in [0, cap) can run
+        on tensors sliced to cap rows — the per-tick PCG matvec cost is
+        O(cap*K), not O(T*K), which roughly halves a full replay (average
+        active prefix is T/2). Equivalent up to fp reduction-order (~1e-5
+        on final metrics): all factor rows >= cap are invalid at those
+        ticks and all pose nodes >= cap+1 are inactive (masked), and every
+        pose row is re-seeded from poses_init when its own tick is
+        replayed. Returns/accepts the FULL (T+1, 3) solution array."""
+
+        def run(s, tk, p_full, l, m):
+            s_c = s.replace(
+                poses_init=s.poses_init[: cap + 1],
+                poses_sol=s.poses_sol[: cap + 1],
+                odom=s.odom[:cap],
+                odom_valid=s.odom_valid[:cap],
+                meas_rb=s.meas_rb[:cap],
+                meas_lm=s.meas_lm[:cap],
+                meas_valid=s.meas_valid[:cap],
+            )
+            p_c, l_c = posegraph.replay_iterative(
+                cfg, s_c, tk, p_full[: cap + 1], l, m[:cap]
+            )
+            return jnp.concatenate([p_c, p_full[cap + 1:]], axis=0), l_c
+
+        return jax.jit(jax.vmap(run, in_axes=(0, None, 0, 0, 0)))
+
     def replay_chunk(graphs_c, m_at_c):
         """Iterative mode: re-enact the per-tick incremental solves on the
         assembled graphs (posegraph.replay_iterative), segmented across
-        device calls with self-calibrating lengths (TPU-tunnel watchdog)."""
+        device calls with self-calibrating lengths (TPU-tunnel watchdog)
+        and graph-prefix-capacity windows (see make_rep_fn)."""
         import time as _time
 
         t_live = t_total - 1
         p_sol, l_sol = graphs_c.poses_sol, graphs_c.lms_sol
         quant = [10, 25, 50, 125]
-        seg_len = min(10, t_live)
+        cap_step = REPLAY_CAP_STEP
         target_s = 25.0
+        rate = None  # seconds per (tick * cap-row), calibrated on-line
         i = 0
         n_calls = 0
         while i < t_live:
-            j = min(i + seg_len, t_live)
+            # prefix capacity for this window (quantized so only a few
+            # (cap, len) shapes ever compile); window ends at the cap
+            cap = min(-(-(i + 1) // cap_step) * cap_step, t_live + 1)
+            hi = min(cap, t_live)
+            if rate is None:
+                seg_len = min(10, hi - i)
+            else:
+                per_tick = rate * cap
+                fit = [q for q in quant if per_tick * q <= target_s]
+                seg_len = fit[-1] if fit else quant[0]
+            j = min(i + seg_len, hi)
             n = j - i
-            fn = rep_fns.get(n)
+            fn = rep_fns.get((n, cap))
             if fn is None:
-                fn = jax.jit(
-                    jax.vmap(
-                        lambda s, tk, p, l, m: posegraph.replay_iterative(
-                            cfg, s, tk, p, l, m
-                        ),
-                        in_axes=(0, None, 0, 0, 0),
-                    )
-                )
-                rep_fns[n] = fn
+                fn = make_rep_fn(cap)
+                rep_fns[(n, cap)] = fn
             t0 = _time.perf_counter()
             p_sol, l_sol = fn(
                 graphs_c, jnp.arange(i, j, dtype=jnp.int32),
@@ -602,17 +640,13 @@ def run_monte_carlo_pg_streams(
             # scalar device read cannot complete before the value exists.
             float(p_sol[0, 0, 0])
             elapsed = _time.perf_counter() - t0
-            _vlog(f"replay ticks {i}..{j} ({elapsed:.1f}s)")
+            _vlog(f"replay ticks {i}..{j} cap={cap} ({elapsed:.1f}s)")
             i = j
             n_calls += 1
-            if n_calls == 1:
-                continue  # first call timing includes compile
             if n_calls == 2:
-                rate = elapsed / n
-                fit = [q for q in quant if rate * q <= target_s]
-                seg_len = fit[-1] if fit else quant[0]
-            if 0 < t_live - i < seg_len:
-                seg_len = t_live - i
+                # calibrate from the 2nd call (1st includes compile); later
+                # windows scale the rate by their larger cap
+                rate = elapsed / (n * cap)
         g2 = graphs_c.replace(poses_sol=p_sol, lms_sol=l_sol)
         # the scan path runs solve_iteration on the final (non-live) tick
         # too, re-seeding node T-1 from poses_init and re-solving once

@@ -599,3 +599,31 @@ def test_streams_path_iterative_matches_scan_path():
         res_str["err_pose_graph_result"],
         res_scan["err_pose_graph_result"], atol=2e-3,
     )
+
+
+def test_streams_replay_prefix_windows_exact(monkeypatch):
+    """The iterative replay's graph-prefix windowing (runner.make_rep_fn:
+    tick t solved on tensors sliced to the quantized cap >= t+1) must be
+    equivalent to full-capacity replay: rows >= cap are invalid at those
+    ticks and pose nodes >= cap+1 are masked inactive, so slicing changes
+    cost, not math (up to fp reduction-order noise from the shorter
+    reduction shapes — observed ~1e-5 on the final metric)."""
+    from live_ekf_slam_tpu.eval import runner as R
+
+    cfg = _small_cfg()  # T=80, iterative mode
+    assert cfg.pose_graph.solve_graph_every_iteration
+    key = jax.random.PRNGKey(9)
+
+    monkeypatch.setattr(R, "REPLAY_CAP_STEP", 1024)  # single window
+    res_full, _, _ = R.run_monte_carlo_pg_streams(cfg, key, batch=2, seed=3)
+    monkeypatch.setattr(R, "REPLAY_CAP_STEP", 32)  # windows at 32/64/80
+    res_win, _, _ = R.run_monte_carlo_pg_streams(cfg, key, batch=2, seed=3)
+
+    np.testing.assert_allclose(
+        res_win["err_pose_graph_result"],
+        res_full["err_pose_graph_result"], atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        res_win["err_pose_graph_initial"],
+        res_full["err_pose_graph_initial"], atol=1e-4,
+    )
