@@ -204,6 +204,10 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
         feed = AsyncFrameFeed(
             n, d_cov=d_cov, du_sigma=du_sigma,
             t_pg=cfg.num_iterations if pg_mode else 0,
+            n_pg_meas=(
+                cfg.num_iterations * cfg.num_meas_slots
+                if pg_mode and cfg.plotter.pg_show_meas_connections else 0
+            ),
         )
         errors: list[float] = []
         done = threading.Event()
@@ -217,6 +221,7 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
             # re-raised on the main thread after join
             try:
                 c = carry
+                pg_pairs: list[tuple[int, int]] = []
                 for t in range(cfg.num_iterations):
                     c, (tp, ep) = step(c, (cmds[t], keys[t]))
                     tp_, ep_ = np.asarray(tp), np.asarray(ep)
@@ -255,6 +260,18 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
                                 fr.pg_landmarks = np.asarray(
                                     solved.lms_sol
                                 )[:m]
+                        if (
+                            cfg.plotter.pg_show_meas_connections
+                            and ts > 0 and m
+                        ):
+                            # newly-added row only (same O(T) accumulation
+                            # as the sync path, cli sync branch below)
+                            mv_row = np.asarray(pg.meas_valid[ts - 1])
+                            ml_row = np.asarray(pg.meas_lm[ts - 1])
+                            for kk in np.nonzero(mv_row)[0]:
+                                pg_pairs.append((ts, int(ml_row[kk])))
+                            if pg_pairs:
+                                fr.pg_meas = np.asarray(pg_pairs, np.int64)
                     feed.push(fr)
             except BaseException as e:  # noqa: BLE001 - relayed to main
                 producer_exc.append(e)

@@ -12,6 +12,7 @@ batch of independent worlds and shardable over a device mesh (see parallel/).
 from __future__ import annotations
 
 import functools
+import math
 import os
 import sys
 import time
@@ -681,7 +682,10 @@ def run_monte_carlo_pg_streams(
             if interpret is None:
                 # Mosaic kernels need interpret mode off-TPU (CPU tests)
                 interpret = jax.devices()[0].platform not in ("tpu", "axon")
-            bw = min(block_worlds, lms_c.shape[0])
+            # the kernel needs batch % block_worlds == 0; gcd keeps any
+            # chunk size valid (a non-divisible chunk like 384 with
+            # block 256 would otherwise raise inside fused_ekf_rollout)
+            bw = math.gcd(lms_c.shape[0], block_worlds)
             out = fused_ekf_rollout(
                 cfg, lms_c, cmds_c, seed, block_worlds=bw,
                 noise=jnp.transpose(st_c["noise_u"], (1, 2, 0)),
@@ -739,13 +743,17 @@ def _pg_bulk_solve(cfg: Config, primary, true_poses, batch, solve_chunk=8):
         # per-tick feedback in iterative mode (pose_graph.cpp:262-267).
         pgc = cfg.pose_graph
         seg_gn = 10
-        # identical schedule to posegraph.solve(): 16x/4x graduation
-        # stages of stage_gn iterations each, then a 1x stage of
-        # bulk_gn_iters — segmented into <=seg_gn-iteration device calls
-        # (TPU-tunnel watchdog) that sum to EXACTLY the same counts, so
-        # the MC path and the demo/finalize path converge to the same
-        # optima. meas_scale is a traced argument, so only the distinct
-        # segment LENGTHS compile.
+        # cold starts: the same 16x/4x/1x graduated schedule as
+        # posegraph.solve(), with identical per-stage iteration counts
+        # (segmented into <=seg_gn-iteration device calls for the
+        # TPU-tunnel watchdog). Warm starts (iterative mode) differ from
+        # finalize() BY DESIGN: finalize graduates the warm iterate
+        # itself, while here the warm iterate gets a 1x polish and a
+        # separate graduated-from-raw-seeds retry runs as the rescue for
+        # warm starts stuck in a bad minimum (take the lower-residual of
+        # the two below) — same robustness, one extra compiled schedule
+        # instead of three. meas_scale is a traced argument, so only the
+        # distinct segment LENGTHS compile.
         stage_gn = max(8, pgc.bulk_gn_iters // 3)
 
         def segs(total):

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from live_ekf_slam_tpu.config import Config
+from live_ekf_slam_tpu.core.noise import clip_uniform_moments
 from live_ekf_slam_tpu.core.types import Measurements, PoseGraphState
 from live_ekf_slam_tpu.ops.precision import dot32, einsum32
 from live_ekf_slam_tpu.utils.geometry import wrap_angle
@@ -357,28 +358,10 @@ def _noise_sigmas(cfg: Config, meas_scale: float = 1.0):
     return odom_s, meas_s
 
 
-def _clip_uniform_moments(c, v, lo, hi):
-    """Mean and std of clip(c + u, lo, hi) with u ~ U(-v, v), elementwise.
-
-    Exact truncated-uniform moments (validated against Monte Carlo to 4
-    decimals), computed on the CENTERED variable g = clip(u, l, h) with
-    l = clip(lo - c, -v, v), h = clip(hi - c, -v, v) — so clip(c+u, lo, hi)
-    = c + g. Centering matters in fp32: E[f^2] - E[f]^2 on the uncentered
-    variable cancels ~mean^2/var >> 1 digits and made the whitened Jacobians
-    jit-order-sensitive at the 1e-3 level; the centered form keeps every
-    term at O(v).
-      P(u<l) = (l+v)/2v,  P(u>h) = (v-h)/2v
-      E[g]   = P(u<l) l + P(u>h) h + (h^2 - l^2) / 4v
-      E[g^2] = P(u<l) l^2 + P(u>h) h^2 + (h^3 - l^3) / 6v.
-    """
-    l = jnp.clip(lo - c, -v, v)
-    h = jnp.clip(hi - c, -v, v)
-    p_lo = (l + v) / (2.0 * v)
-    p_hi = (v - h) / (2.0 * v)
-    mean_g = p_lo * l + p_hi * h + (h * h - l * l) / (4.0 * v)
-    m2_g = p_lo * l * l + p_hi * h * h + (h ** 3 - l ** 3) / (6.0 * v)
-    var = jnp.maximum(m2_g - mean_g * mean_g, 0.0)
-    return c + mean_g, jnp.sqrt(var)
+# canonical implementation lives in core/noise.py (shared with the
+# EKF/UKF calibrated-motion mode); the formula is fp32-sensitive (centered
+# truncated-uniform moments) and must not fork
+_clip_uniform_moments = clip_uniform_moments
 
 
 def _odom_moments(cfg: Config, odom):

@@ -9,12 +9,14 @@ never stalls device work; skipped frames are counted by the ring.
 
 Frame layout (fixed capacity, float32), configured at construction:
   header (16): [timestep, true_pose(3), est_pose(3), m_lm, has_cov,
-                has_sigma, n_pg_init, n_pg_res, m_pg, pad(3)]
+                has_sigma, n_pg_init, n_pg_res, m_pg, n_pg_meas, pad(2)]
   landmarks:   N * 3 as (id, x, y)
   cov:         d_cov * d_cov          (covariance ellipses; 0 to disable)
   sigma:       du * (2 du + 1)        (UKF sigma points; 0 to disable)
   pose graph:  2 * (t_pg + 1) * 3 + N * 2   (initial + result pose
                histories with counts, landmark positions; 0 to disable)
+  pg meas:     n_pg_meas * 2 as (pose_idx, lm_idx) measurement-connection
+               pairs (newest kept on overflow; 0 to disable)
 
 Every artist the synchronous path renders (cov ellipses, sigma points, the
 pose-graph panel) round-trips through the ring (plotting_node.py:337-372,
@@ -41,18 +43,21 @@ class AsyncFrameFeed:
         du_sigma: int = 0,
         t_pg: int = 0,
         n_slots: int = 8,
+        n_pg_meas: int = 0,
     ):
         self.n = int(n_landmark_slots)
         self.d = int(d_cov)
         self.du = int(du_sigma)
         self.t_pg = int(t_pg)
+        self.n_pg_meas = int(n_pg_meas)
         self.off_lm = _HDR
         self.off_cov = self.off_lm + 3 * self.n
         self.off_sig = self.off_cov + self.d * self.d
         self._sig_cols = 2 * self.du + 1
         self.off_pg = self.off_sig + self.du * self._sig_cols
         pg_floats = 2 * (self.t_pg + 1) * 3 + 2 * self.n if self.t_pg else 0
-        self.slot_floats = self.off_pg + pg_floats
+        self.off_meas = self.off_pg + pg_floats
+        self.slot_floats = self.off_meas + 2 * self.n_pg_meas
         self.ring = native.FrameRing(self.slot_floats, n_slots)
 
     # -- producer side (compute thread) --------------------------------
@@ -100,6 +105,13 @@ class AsyncFrameFeed:
                     frame.pg_landmarks[:mpg], np.float32
                 ).reshape(-1)
             buf[12] = mpg
+        if self.n_pg_meas and frame.pg_meas is not None and len(frame.pg_meas):
+            # keep the NEWEST pairs on overflow (the overlay accumulates
+            # over the run; recent connections matter most mid-run)
+            pairs = np.asarray(frame.pg_meas, np.float32)[-self.n_pg_meas:]
+            cnt = pairs.shape[0]
+            buf[self.off_meas: self.off_meas + 2 * cnt] = pairs.reshape(-1)
+            buf[13] = cnt
         return self.ring.push(buf)
 
     # -- consumer side (render thread) ----------------------------------
@@ -136,6 +148,14 @@ class AsyncFrameFeed:
             mpg = int(buf[12])
             if mpg:
                 pg_lms = buf[off: off + 2 * mpg].reshape(mpg, 2).copy()
+        pg_meas = None
+        if self.n_pg_meas:
+            cnt = int(buf[13])
+            if cnt:
+                pg_meas = (
+                    buf[self.off_meas: self.off_meas + 2 * cnt]
+                    .reshape(cnt, 2).astype(np.int64)
+                )
         return Frame(
             timestep=int(buf[0]),
             true_pose=buf[1:4].copy(),
@@ -146,6 +166,7 @@ class AsyncFrameFeed:
             pg_initial=pg_init,
             pg_result=pg_res,
             pg_landmarks=pg_lms,
+            pg_meas=pg_meas,
         )
 
     @property

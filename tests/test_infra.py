@@ -376,19 +376,22 @@ def test_async_frame_feed_roundtrip():
 
     rng = np.random.default_rng(2)
     du = 14  # 4 + 2*5
-    feed = AsyncFrameFeed(n_landmark_slots=5, d_cov=13, du_sigma=du, t_pg=10)
+    feed = AsyncFrameFeed(
+        n_landmark_slots=5, d_cov=13, du_sigma=du, t_pg=10, n_pg_meas=4
+    )
     lms = np.array([[0, 1.0, 2.0], [3, -1.0, 0.5]], np.float32)
     cov = rng.normal(size=(13, 13)).astype(np.float32)
     sig = rng.normal(size=(du, 2 * du + 1)).astype(np.float32)
     pg_i = rng.normal(size=(8, 3)).astype(np.float32)
     pg_r = rng.normal(size=(8, 3)).astype(np.float32)
     pg_l = rng.normal(size=(3, 2)).astype(np.float32)
+    pg_m = np.array([[1, 0], [2, 2], [3, 1], [5, 0], [6, 2]], np.int64)
     feed.push(Frame(
         timestep=7,
         true_pose=np.array([1.0, 2.0, 0.3]),
         est_pose=np.array([1.1, 2.1, 0.25]),
         landmarks=lms, cov=cov, sigma_pts=sig,
-        pg_initial=pg_i, pg_result=pg_r, pg_landmarks=pg_l,
+        pg_initial=pg_i, pg_result=pg_r, pg_landmarks=pg_l, pg_meas=pg_m,
     ))
     fr = feed.pop_latest()
     assert fr is not None and fr.timestep == 7
@@ -400,6 +403,8 @@ def test_async_frame_feed_roundtrip():
     np.testing.assert_allclose(fr.pg_initial, pg_i, atol=1e-6)
     np.testing.assert_allclose(fr.pg_result, pg_r, atol=1e-6)
     np.testing.assert_allclose(fr.pg_landmarks, pg_l, atol=1e-6)
+    # 5 pairs into capacity 4: the NEWEST 4 survive, dtype back to int
+    np.testing.assert_array_equal(fr.pg_meas, pg_m[-4:])
     assert feed.pop_latest() is None
     feed.close()
     # minimal layout still round-trips (no optional blocks)
@@ -456,7 +461,12 @@ def test_async_viz_ukf_and_posegraph_headless():
         cfg = preset("filter_demo_live", Config(num_iterations=25))
         cfg = cfg.replace(
             filter=filt,
-            plotter=dataclasses.replace(cfg.plotter, async_viz=True),
+            plotter=dataclasses.replace(
+                cfg.plotter, async_viz=True,
+                # exercise the measurement-connection block of the frame
+                # layout in the pose-graph pass
+                pg_show_meas_connections=(filt == "pose_graph"),
+            ),
         )
         avg = C.run_demo(cfg, seed=0, live=True)
         assert np.isfinite(avg)
