@@ -538,3 +538,39 @@ def test_apriltag_detector_config_schema():
         TagRegistry(standalone_tags=[
             {"id": 0, "size": 0.05}, {"id": 0, "size": 0.05},
         ])
+
+
+def test_matrix_to_artifacts_script(tmp_path):
+    """scripts/matrix_to_artifacts.py: docs/accuracy_matrix.json -> the
+    reference's offline artifact tree (data/<run>/*.csv one-float-per-line
+    + plots/err_comparisons/<run>.png, make_bar_graphs.py layout), with
+    per-run CSV means pinned to the matrix means."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    matrix = os.path.join(repo, "docs", "accuracy_matrix.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "matrix_to_artifacts.py"),
+         "--matrix", matrix, "--data-dir", str(tmp_path / "data"),
+         "--plots-dir", str(tmp_path / "plots"), "--runs", "10"],
+        capture_output=True, text=True, env={**os.environ,
+                                             "MPLBACKEND": "Agg"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(matrix) as f:
+        mat = json.load(f)
+    n_pgs = sum(1 for k in mat["configs"] if not k.startswith("solo_"))
+    runs = sorted(p.name for p in (tmp_path / "data").iterdir())
+    assert len(runs) == n_pgs
+    # reference naming + mean pinning for one known config
+    assert "naive_high_noise_one_time" in runs
+    vals = [float(x) for x in (
+        tmp_path / "data" / "naive_high_noise_one_time" / "naive.csv"
+    ).read_text().split()]
+    assert len(vals) == 10
+    ref_mean = mat["configs"]["naive_high_one_time"]["secondary"]["mean"]
+    assert abs(np.mean(vals) - ref_mean) < 1e-6
+    pngs = sorted(p.name for p in (tmp_path / "plots").iterdir())
+    assert len(pngs) == n_pgs and pngs[0].endswith(".png")
