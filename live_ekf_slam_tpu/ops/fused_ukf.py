@@ -174,7 +174,14 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
             # ---- UKF predict (ukf.cpp:197-241)
             xc = x_ref[2:3, :]
             xs = x_ref[3:4, :]
-            yaw_c = _atan2(xs, xc)  # committed yaw (ukf.cpp:181)
+            # committed-yaw direction (ukf.cpp:181): the state stores
+            # (cos th, sin th), so cos/sin of the committed yaw are the
+            # normalized components — no atan2+cos+sin round trip. (The
+            # means m2/m3 are weighted sums, hence not unit-norm.)
+            nrm_c = xc * xc + xs * xs
+            inv_c = jnp.where(nrm_c > 0.0, jax.lax.rsqrt(nrm_c), 0.0)
+            cyawv = jnp.where(nrm_c > 0.0, xc * inv_c, 1.0)
+            syawv = xs * inv_c
             if slam:
                 n_act = 4.0 + 2.0 * jnp.sum(seen_ref[:, :], axis=0,
                                             keepdims=True)  # (1, BL)
@@ -253,30 +260,40 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                 ath = ang + v_th
                 var_d, var_th = v00f, v11f
 
+            # heading-increment direction: ath is a (1, BL) row, so this is
+            # two transcendentals per row, not per sigma element
+            ca = jnp.cos(ath)
+            sa = jnp.sin(ath)
+
             def propagate(px, py, pc, ps):
-                yaw = _atan2(ps, pc)
-                nyaw = _wrap(yaw + ath)
+                """Sigma propagation without per-element transcendentals:
+                cos/sin(atan2(ps, pc)) is (pc, ps) normalized, and the
+                post-increment direction is a rotation by ath — exact
+                identities of ukf.cpp:125-137's angle form. The yaw angle
+                itself is never needed downstream (sensing consumes the
+                direction components)."""
+                nrm = pc * pc + ps * ps
+                inv = jnp.where(nrm > 0.0, jax.lax.rsqrt(nrm), 0.0)
+                cy = jnp.where(nrm > 0.0, pc * inv, 1.0)
+                sy = ps * inv
                 return (
-                    px + mv * jnp.cos(yaw),
-                    py + mv * jnp.sin(yaw),
-                    jnp.cos(nyaw),
-                    jnp.sin(nyaw),
-                    nyaw,
+                    px + mv * cy,
+                    py + mv * sy,
+                    cy * ca - sy * sa,
+                    sy * ca + cy * sa,
                 )
 
-            pxn, pyn, pcn, psn, pyaw = propagate(
+            pxn, pyn, pcn, psn = propagate(
                 xv0 + la0, xv1 + la1, xc + la2, xs + la3
             )
-            mxn, myn, mcn, msn, myaw = propagate(
+            mxn, myn, mcn, msn = propagate(
                 xv0 - la0, xv1 - la1, xc - la2, xs - la3
             )
-            cxn, cyn, ccn, csn, cyaw = propagate(xv0, xv1, xc, xs)
+            cxn, cyn, ccn, csn = propagate(xv0, xv1, xc, xs)
             sigp_ref[0, :, :] = pxn
             sigp_ref[1, :, :] = pyn
-            sigp_ref[2, :, :] = pyaw
             sigm_ref[0, :, :] = mxn
             sigm_ref[1, :, :] = myn
-            sigm_ref[2, :, :] = myaw
 
             # x_pred vehicle rows (landmark rows unchanged: the oracle's
             # +/-L contributions cancel)
@@ -300,9 +317,8 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
             dcs = (cxn - m0, cyn - m1, ccn - m2, csn - m3)
             # process noise (ukf.cpp:182-186): signed-diag reference quirk
             # behind compat (indefinite P; prefer the XLA eigh path for long
-            # compat rollouts), correct PSD projection Q = G V G^T otherwise
-            cyawv = jnp.cos(yaw_c)
-            syawv = jnp.sin(yaw_c)
+            # compat rollouts), correct PSD projection Q = G V G^T otherwise.
+            # cyawv/syawv (committed-yaw direction) computed above.
             if signed_q:
                 qd = {
                     (0, 0): var_d * cyawv, (1, 1): var_d * syawv,
@@ -374,40 +390,72 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
                         lxp = lxm = jnp.broadcast_to(lmx_c, (dup, bl))
                         lyp = lym = jnp.broadcast_to(lmy_c, (dup, bl))
 
-                    def z_of(lmx, lmy, sx, sy, syaw):
+                    wbc = math.cos(w_b)
+                    wbs = math.sin(w_b)
+
+                    def z_of(lmx, lmy, sx, sy, cy, sy2):
+                        """Range + bearing DIRECTION (cos b, sin b) for
+                        b = atan2(ddy, ddx) - yaw + w_b, via exact rotation
+                        algebra on the unit line-of-sight vector instead of
+                        atan2+sin+cos per sigma element (the last
+                        non-structural cost in the kernel's speed-of-light
+                        audit, docs/BENCHMARKS.md). r0 = nrm * rsqrt(nrm)
+                        spares a separate sqrt."""
                         ddx = lmx - sx
                         ddy = lmy - sy
-                        r = jnp.sqrt(ddx * ddx + ddy * ddy) + w_r
-                        yaw = yaw_c if committed_yaw else syaw
-                        b = _wrap(_atan2(ddy, ddx) - yaw + w_b)
-                        return r, b
+                        nrm = ddx * ddx + ddy * ddy
+                        inv = jnp.where(nrm > 0.0, jax.lax.rsqrt(nrm), 0.0)
+                        ux = ddx * inv
+                        uy = ddy * inv
+                        cb_ = ux * cy + uy * sy2  # cos(atan2 - yaw)
+                        sb_ = uy * cy - ux * sy2
+                        if w_b != 0.0:
+                            cb_, sb_ = (cb_ * wbc - sb_ * wbs,
+                                        sb_ * wbc + cb_ * wbs)
+                        return nrm * inv + w_r, cb_, sb_
 
-                    r_p, b_p = z_of(lxp, lyp, sigp_ref[0, :, :],
-                                    sigp_ref[1, :, :], sigp_ref[2, :, :])
-                    r_m, b_m = z_of(lxm, lym, sigm_ref[0, :, :],
-                                    sigm_ref[1, :, :], sigm_ref[2, :, :])
-                    r_c, b_c = z_of(lmx_c, lmy_c, cxn, cyn, cyaw)
+                    if committed_yaw:
+                        dir_p = dir_m = dir_c = (cyawv, syawv)
+                    else:
+                        dir_p, dir_m, dir_c = (
+                            (pcn, psn), (mcn, msn), (ccn, csn)
+                        )
+                    r_p, cb_p, sb_p = z_of(lxp, lyp, sigp_ref[0, :, :],
+                                           sigp_ref[1, :, :], *dir_p)
+                    r_m, cb_m, sb_m = z_of(lxm, lym, sigm_ref[0, :, :],
+                                           sigm_ref[1, :, :], *dir_m)
+                    r_c, cb_c, sb_c = z_of(lmx_c, lmy_c, cxn, cyn, *dir_c)
 
                     z_r = w0 * r_c + jnp.sum(
                         wm * (r_p + r_m), axis=0, keepdims=True
                     )
                     if zero_b_mean:
+                        # reference quirk (ukf.cpp:310-314): bearing mean
+                        # stays 0, so deviations are the raw wrapped bearings
                         z_b = jnp.zeros((1, bl), jnp.float32)
+                        mcb = jnp.float32(1.0)
+                        msb = jnp.float32(0.0)
                     else:
-                        sb = w0 * jnp.sin(b_c) + jnp.sum(
-                            wm * (jnp.sin(b_p) + jnp.sin(b_m)),
-                            axis=0, keepdims=True,
+                        msb = w0 * sb_c + jnp.sum(
+                            wm * (sb_p + sb_m), axis=0, keepdims=True
                         )
-                        cb = w0 * jnp.cos(b_c) + jnp.sum(
-                            wm * (jnp.cos(b_p) + jnp.cos(b_m)),
-                            axis=0, keepdims=True,
+                        mcb = w0 * cb_c + jnp.sum(
+                            wm * (cb_p + cb_m), axis=0, keepdims=True
                         )
-                        z_b = _atan2(sb, cb)
+                        z_b = _atan2(msb, mcb)
 
                     dr_p, dr_m, dr_c = r_p - z_r, r_m - z_r, r_c - z_r
-                    db_p = _wrap(b_p - z_b)
-                    db_m = _wrap(b_m - z_b)
-                    db_c = _wrap(b_c - z_b)
+
+                    def dev_b(cb_, sb_):
+                        # wrap(b - z_b) = atan2(sin(b - z_b), cos(b - z_b));
+                        # atan2 is scale-invariant, so the un-normalized
+                        # mean direction (mcb, msb) is used directly
+                        return _atan2(sb_ * mcb - cb_ * msb,
+                                      cb_ * mcb + sb_ * msb)
+
+                    db_p = dev_b(cb_p, sb_p)
+                    db_m = dev_b(cb_m, sb_m)
+                    db_c = dev_b(cb_c, sb_c)
 
                     def wsum(ap, am, ac):
                         return w0 * ac + jnp.sum(
@@ -623,8 +671,8 @@ def fused_ukf_rollout(
         ],
         scratch_shapes=[
             pltpu.VMEM((dup, dup, bl), jnp.float32),  # Cholesky factor L
-            pltpu.VMEM((3, dup, bl), jnp.float32),    # +half veh sigma rows
-            pltpu.VMEM((3, dup, bl), jnp.float32),    # -half veh sigma rows
+            pltpu.VMEM((2, dup, bl), jnp.float32),    # +half sigma x/y rows
+            pltpu.VMEM((2, dup, bl), jnp.float32),    # -half sigma x/y rows
         ],
     )
     stats, x_out, p_out, seen = pl.pallas_call(
