@@ -24,12 +24,21 @@ from live_ekf_slam_tpu.sim import maps as sim_maps
 B, T, N = 6, 25, 5
 
 
-def _setup(seed=7, compat=False):
+def _setup(seed=7, compat=False, noise_mean=False):
     cfg = Config(num_iterations=T).replace(
         num_landmark_slots=N, num_meas_slots=N
     )
     if compat:
         cfg = cfg.replace(compat=CompatConfig.all_on())
+    if noise_mean:
+        # nonzero filter-side noise means exercise the kernel's w_r offset
+        # and constant-w_b bearing-rotation branch (ekf.cpp:130-131 analog)
+        cfg = cfg.replace(
+            sensing_noise=cfg.sensing_noise.__class__(
+                W_00=cfg.sensing_noise.W_00, W_11=cfg.sensing_noise.W_11,
+                w_r=0.01, w_b=0.02,
+            )
+        )
     cfg = cfg.replace(
         # bound=3 packs the landmarks around the short test trajectory so
         # several are visible (and updated) simultaneously
@@ -111,9 +120,13 @@ def _xla_run(cfg, lms_w, cmds_w, noise_w, slam):
     return s, poses[-1], err_sum
 
 
-@pytest.mark.parametrize("slam", [True, False])
-def test_fused_ukf_matches_xla_chol_path(slam):
-    cfg, lms, cmds, noise = _setup()
+@pytest.mark.parametrize(
+    "slam,noise_mean",
+    [(True, False), (False, False), (True, True)],
+    ids=["slam", "loc", "slam-noise-mean"],
+)
+def test_fused_ukf_matches_xla_chol_path(slam, noise_mean):
+    cfg, lms, cmds, noise = _setup(noise_mean=noise_mean)
     out = fused_ukf_rollout(
         cfg, jnp.asarray(lms), jnp.asarray(cmds), 0, slam=slam,
         block_worlds=B, interpret=True, noise=jnp.asarray(noise),
