@@ -696,3 +696,61 @@ def fused_ukf_rollout(
         "P": jnp.transpose(p_out, (2, 0, 1))[:, :du, :du],
         "seen": jnp.transpose(seen, (1, 0)) > 0.5,
     }
+
+
+def fused_ukf_rollout_sharded(
+    cfg: Config, landmarks, cmds, seed, mesh, slam: bool = True,
+    block_worlds: int = 128, interpret: bool = False, noise=None,
+):
+    """Multi-chip fused UKF rollout: shard the world batch over a 1-D mesh.
+
+    Same layout as ops/fused_rollout.fused_ekf_rollout_sharded: worlds are
+    fully independent, each device runs the kernel on its shard, reductions
+    ride the mesh afterwards, and the PRNG seed is decorrelated per device
+    via the mesh axis index.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    b = landmarks.shape[0]
+    if b % n_dev != 0:
+        raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
+
+    out_specs = {
+        "err_sum": P(axis),
+        "err_max": P(axis),
+        "update_rejects": P(axis),
+        "true_pose": P(axis),
+        "x": P(axis),
+        "P": P(axis),
+        "seen": P(axis),
+    }
+    in_specs = [P(axis), P(axis, None)]
+    args = [landmarks, cmds]
+    if noise is not None:
+        in_specs.append(P(None, None, axis))
+        args.append(noise)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(lms_shard, cmds_shard, *rest):
+        dev = jax.lax.axis_index(axis)
+        local_noise = rest[0] if rest else None
+        return fused_ukf_rollout(
+            cfg,
+            lms_shard,
+            cmds_shard,
+            seed + dev * jnp.int32(1000003),
+            slam=slam,
+            block_worlds=block_worlds,
+            interpret=interpret,
+            noise=local_noise,
+        )
+
+    return run(*args)
