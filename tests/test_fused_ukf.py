@@ -163,6 +163,33 @@ def test_fused_ukf_matches_xla_chol_path(slam, noise_mean):
             )
 
 
+def test_sharded_fused_ukf_matches_single_device():
+    """shard_map over the 8-device mesh: per-device kernels, identical
+    output (injected noise, so per-device PRNG decorrelation is inert)."""
+    from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout_sharded
+    from live_ekf_slam_tpu.parallel import mesh as pmesh
+
+    cfg, lms, cmds, noise = _setup()
+    b16 = 16
+    reps = -(-b16 // B)
+    lms2 = np.concatenate([lms] * reps)[:b16]
+    cmds2 = np.concatenate([cmds] * reps)[:b16]
+    noise2 = np.concatenate([noise] * reps, axis=2)[:, :, :b16]
+    mesh = pmesh.make_mesh(8)
+    out_sh = fused_ukf_rollout_sharded(
+        cfg, jnp.asarray(lms2), jnp.asarray(cmds2), 0, mesh, slam=True,
+        block_worlds=2, interpret=True, noise=jnp.asarray(noise2),
+    )
+    out_1 = fused_ukf_rollout(
+        cfg, jnp.asarray(lms2), jnp.asarray(cmds2), 0, slam=True,
+        block_worlds=2, interpret=True, noise=jnp.asarray(noise2),
+    )
+    for key in ("err_sum", "x", "seen"):
+        np.testing.assert_array_equal(
+            np.asarray(out_sh[key]), np.asarray(out_1[key])
+        )
+
+
 def test_fused_ukf_compat_quirks():
     """Zero-bearing-mean + committed-yaw compat flags run and stay finite."""
     cfg, lms, cmds, noise = _setup(compat=True)
