@@ -418,7 +418,7 @@ def main(argv=None):
         ],
     )
     p.add_argument("--params", help="reference-format params.yaml")
-    p.add_argument("--filter", help="ekf_slam|ukf_loc|ukf_slam|pose_graph|naive")
+    p.add_argument("--filter", help="ekf_slam|iekf_slam|ukf_loc|ukf_slam|pose_graph|naive")
     p.add_argument("--landmark-map", dest="landmark_map")
     p.add_argument("--occ-map-img", dest="occ_map_img")
     p.add_argument("--steps", type=int)

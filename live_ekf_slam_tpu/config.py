@@ -105,7 +105,7 @@ class UKFConfig:
 @_freeze()
 class PoseGraphConfig:
     # params.yaml:59-66
-    filter_to_compare: str = "naive"  # ekf_slam | ukf_loc | ukf_slam | naive
+    filter_to_compare: str = "naive"  # ekf_slam | iekf_slam | ukf_loc | ukf_slam | naive
     implementation: str = "gn"  # TPU-native batched GN/LM (replaces "gtsam")
     verbose: bool = False
     update_landmarks_after_adding: bool = False
@@ -263,7 +263,8 @@ class CompatConfig:
 
 @_freeze()
 class Config:
-    # params.yaml:11 — ekf_slam | ukf_loc | ukf_slam | pose_graph | naive
+    # params.yaml:11 — ekf_slam | ukf_loc | ukf_slam | pose_graph | naive,
+    # plus the beyond-reference iekf_slam (right-invariant EKF, models/iekf.py)
     filter: str = "ekf_slam"
     # params.yaml:14-15
     dt: float = 0.05

@@ -25,12 +25,12 @@ from flax import struct
 
 from live_ekf_slam_tpu.config import Config
 from live_ekf_slam_tpu.core.types import WorldState
-from live_ekf_slam_tpu.models import ekf, naive, posegraph, ukf
+from live_ekf_slam_tpu.models import ekf, iekf, naive, posegraph, ukf
 from live_ekf_slam_tpu.sim import maps as sim_maps
 from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 from live_ekf_slam_tpu.sim.world import init_world, sim_step
 
-ONLINE_FILTERS = ("ekf_slam", "ukf_loc", "ukf_slam", "naive")
+ONLINE_FILTERS = ("ekf_slam", "iekf_slam", "ukf_loc", "ukf_slam", "naive")
 
 # Graph-prefix window quantum for the iterative streams replay (see
 # run_monte_carlo_pg_streams.make_rep_fn); module-level so tests can shrink
@@ -72,6 +72,8 @@ DIVERGENCE_RADIUS = 50.0
 def _filter_init(cfg: Config, name: str, init_pose=None):
     if name == "ekf_slam":
         return ekf.init(cfg, init_pose)
+    if name == "iekf_slam":
+        return iekf.init(cfg, init_pose)
     if name == "ukf_slam":
         return ukf.init(cfg, slam=True, init_pose=init_pose)
     if name == "ukf_loc":
@@ -86,6 +88,8 @@ def _filter_init(cfg: Config, name: str, init_pose=None):
 def _filter_update(cfg: Config, name: str, state, cmd, meas, true_map=None):
     if name == "ekf_slam":
         return ekf.update(cfg, state, cmd, meas)
+    if name == "iekf_slam":
+        return iekf.update(cfg, state, cmd, meas)
     if name == "ukf_slam":
         return ukf.update(cfg, state, cmd, meas, slam=True)
     if name == "ukf_loc":
@@ -96,7 +100,7 @@ def _filter_update(cfg: Config, name: str, state, cmd, meas, true_map=None):
 
 
 def _filter_pose(name: str, state):
-    if name == "ekf_slam":
+    if name in ("ekf_slam", "iekf_slam"):
         return ekf.pose(state)
     if name in ("ukf_slam", "ukf_loc"):
         return ukf.pose(state)
@@ -106,7 +110,7 @@ def _filter_pose(name: str, state):
 
 
 def _filter_state_vector(cfg: Config, name: str, state):
-    if name == "ekf_slam":
+    if name in ("ekf_slam", "iekf_slam"):
         return ekf.state_vector(state)
     if name == "ukf_slam":
         return ukf.state_vector(cfg, state, slam=True)
@@ -121,7 +125,7 @@ def _filter_landmarks(cfg: Config, name: str, state):
     """(lm_xy (N, 2), ids, M) of a SLAM secondary, for the pose graph's
     update_landmarks_after_adding coupling (pose_graph.cpp:111-118); None for
     filters without landmark estimates."""
-    if name == "ekf_slam":
+    if name in ("ekf_slam", "iekf_slam"):
         return state.x[3:].reshape(-1, 2), state.ids, state.M
     if name == "ukf_slam":
         return state.x[4:].reshape(-1, 2), state.ids, state.M
