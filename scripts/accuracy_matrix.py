@@ -115,6 +115,12 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu (the axon TPU plugin force-prepends itself
+    # regardless of the env var; the config override must come after import)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int, default=1024)
     ap.add_argument("--worlds-iter", type=int, default=256)
@@ -157,7 +163,9 @@ def main():
     for filt, noise in (("naive", "high"), ("ekf_slam", "high"),
                         ("ukf_slam", "high"), ("ukf_loc", "high"),
                         ("ekf_slam", "low"), ("naive", "low"),
-                        ("ukf_slam", "low"), ("ukf_loc", "low")):
+                        ("ukf_slam", "low"), ("ukf_loc", "low"),
+                        # beyond-reference right-invariant EKF (models/iekf.py)
+                        ("iekf_slam", "high"), ("iekf_slam", "low")):
         name = f"solo_{filt}_{noise}"
         if name in out["configs"]:
             continue
@@ -166,7 +174,9 @@ def main():
             cfg = cfg.replace(
                 ukf=dataclasses.replace(cfg.ukf, sigma_sqrt="chol")
             )
-        impl = "xla" if filt == "naive" else "fused"
+        # --smoke validates the harness off-TPU: the XLA path everywhere
+        impl = ("xla" if args.smoke or filt in ("naive", "iekf_slam")
+                else "fused")
         t0 = time.perf_counter()
         log(f"[{name}] {args.worlds} worlds ...")
         chunk = args.batch_chunk if args.smoke else 512
