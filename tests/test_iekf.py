@@ -254,3 +254,30 @@ def test_iekf_end_to_end_accuracy():
     assert means["iekf_slam"] < means["naive"]
     assert means["iekf_slam"] < 3.0 * means["ekf_slam"]
     assert np.isfinite(means["iekf_slam"])
+
+
+def test_iekf_consistency_advantage(tmp_path):
+    """Drift regime (sparse sightings + strong heading noise): standard
+    EKF-SLAM's NEES drifts upward over the run while the RI-EKF's stays
+    near the 3-dof expectation (scripts/consistency.py at small scale)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "consistency.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "consistency.py"),
+         "--worlds", "8", "--t", "700", "--slots", "6",
+         "--regime", "drift", "--out", str(out)],
+        check=True, env=env, cwd=repo, timeout=540,
+    )
+    res = json.load(open(out))["filters"]
+    ekf_late = res["ekf_slam"]["nees_late_third"]
+    iekf_late = res["iekf_slam"]["nees_late_third"]
+    assert iekf_late < 8.0, f"RI-EKF late NEES should stay near 3: {iekf_late}"
+    assert ekf_late > 1.5 * iekf_late, (
+        f"expected EKF NEES drift above RI-EKF: {ekf_late} vs {iekf_late}"
+    )
