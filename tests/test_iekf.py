@@ -281,3 +281,22 @@ def test_iekf_consistency_advantage(tmp_path):
     assert ekf_late > 1.5 * iekf_late, (
         f"expected EKF NEES drift above RI-EKF: {ekf_late} vs {iekf_late}"
     )
+
+
+def test_iekf_long_horizon_fp32_stability():
+    """T=1000 full-length rollout: the invariant update's retraction and
+    rank-1 predict stay finite and accurate in fp32 (the EKF kernel needed
+    a specific HP spelling for this; the IEKF's constant-H algebra has no
+    such hazard, but lock it in)."""
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo
+
+    cfg = Config(num_iterations=1000).replace(
+        num_landmark_slots=8, num_meas_slots=8, filter="iekf_slam"
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=8))
+    res, _, _ = run_monte_carlo(cfg, jax.random.PRNGKey(11), 4, seed=11)
+    err = np.asarray(res["err_iekf_slam"])
+    div = np.asarray(res["diverged_iekf_slam"])
+    assert not div.any()
+    assert np.isfinite(err).all()
+    assert err.mean() < 0.5, f"long-run drift too large: {err}"
