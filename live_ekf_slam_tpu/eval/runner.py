@@ -390,19 +390,21 @@ def run_monte_carlo(
         from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 
         block_worlds = min(block_worlds, batch)
-        if cfg.filter not in ("ekf_slam", "ukf_slam", "ukf_loc") or collect != "sums":
+        if (cfg.filter not in ("ekf_slam", "iekf_slam", "ukf_slam",
+                               "ukf_loc") or collect != "sums"):
             raise ValueError(
-                "impl='fused' supports filter in (ekf_slam, ukf_slam, "
-                "ukf_loc), collect='sums'"
+                "impl='fused' supports filter in (ekf_slam, iekf_slam, "
+                "ukf_slam, ukf_loc), collect='sums'"
             )
         cmds = jax.jit(
             jax.vmap(lambda l, k: generate_trajectory(cfg, l, l.shape[0], k))
         )(lms, keys)
-        if cfg.filter == "ekf_slam":
+        if cfg.filter in ("ekf_slam", "iekf_slam"):
             from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
 
             out = fused_ekf_rollout(
-                cfg, lms, cmds, seed, block_worlds=block_worlds
+                cfg, lms, cmds, seed, block_worlds=block_worlds,
+                filter_kind="iekf" if cfg.filter == "iekf_slam" else "ekf",
             )
         else:
             from live_ekf_slam_tpu.ops.fused_ukf import fused_ukf_rollout

@@ -71,8 +71,25 @@ _P0 = (0.01 * 0.01, 0.01 * 0.01, 0.005 * 0.005)
 
 def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                  inject_noise: bool = False, profile_mode: str = "full",
-                 predicated: bool = True, emit_traj: bool = False):
-    """Builds the kernel body, specialized on the static config."""
+                 predicated: bool = True, emit_traj: bool = False,
+                 filter_kind: str = "ekf"):
+    """Builds the kernel body, specialized on the static config.
+
+    filter_kind="iekf" swaps the three filter-math sections (predict / update
+    / insertion) for the right-invariant EKF's (models/iekf.py equations;
+    docs/FILTERS.md derivation), keeping the whole sim + layout scaffold:
+      * predict: F = I, so P gains only var_d on a 2x2 block plus ONE full
+        rank-1 pass var_th * g_a g_a^T (the yaw-noise column couples into
+        every translation slot);
+      * update: constant H = [-I | 0 | +I] — P H^T / H P are 2-column /
+        2-row differences with NO per-slot trig or divisions; the Cartesian
+        innovation and Rtil need only row-level cos/sin of (theta, b); the
+        state correction is the exp retraction (rotate all translation
+        pairs);
+      * insertion: new covariance rows COPY the vehicle-position rows and
+        the corner adds Rtil — no heading coupling.
+    The EKF compat quirks (stale landmarks, unwrapped innovation) do not
+    apply to the invariant filter and are ignored."""
     (v00f, v11f), (w00f, w11f) = cfg.filter_noise()  # filter noise (variances)
     calibrated = use_calibrated(cfg)
     if calibrated:
@@ -187,20 +204,51 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                 eff_d, eff_th = fwd + v_d, ang + v_th
                 var_d, var_th = v00f, v11f
                 jac_d = fwd  # F_x from the raw command (ekf.cpp:47-50)
-            u0 = -jac_d * s  # F_x(0,2)
-            u1 = jac_d * c   # F_x(1,2)
-            row2 = p_ref[2, :, :]  # (DP, BL)
-            p_ref[0, :, :] = p_ref[0, :, :] + u0 * row2
-            p_ref[1, :, :] = p_ref[1, :, :] + u1 * row2
-            col2 = p_ref[:, 2:3, :]  # (DP, 1, BL) — updated rows included
-            p_ref[:, 0:1, :] = p_ref[:, 0:1, :] + col2 * u0[None]
-            p_ref[:, 1:2, :] = p_ref[:, 1:2, :] + col2 * u1[None]
-            # F_v V F_v^T on the top-left 3x3 (ekf.cpp:51-54)
-            p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * var_d
-            p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * var_d
-            p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * var_d
-            p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * var_d
-            p_ref[2, 2:3, :] = p_ref[2, 2:3, :] + var_th
+            if filter_kind == "iekf":
+                # invariant predict: F = I; the distance-noise column is
+                # (c, s, 0, ...) — a 2x2 block — and the yaw-noise column
+                # g_a = Ad_Xhat(1, (0, -d)) couples into every ACTIVE
+                # translation slot: one full rank-1 pass over P
+                xv0 = x_ref[0:1, :]
+                xv1 = x_ref[1:2, :]
+                lm_x = x_ref[3:3 + 2 * n_lm:2, :]  # (N, BL)
+                lm_y = x_ref[4:4 + 2 * n_lm:2, :]
+                seen_now_p = seen_ref[:, :]  # (N, BL) active-slot mask
+                g_lm = jnp.stack(
+                    [seen_now_p * lm_y, -seen_now_p * lm_x], axis=1
+                ).reshape(2 * n_lm, bl)
+                g_a = jnp.concatenate(
+                    [
+                        jac_d * s + xv1,
+                        -jac_d * c - xv0,
+                        jnp.ones((1, bl), jnp.float32),
+                        g_lm,
+                        jnp.zeros((dp - 3 - 2 * n_lm, bl), jnp.float32),
+                    ],
+                    axis=0,
+                )  # (DP, BL)
+                p_ref[:, :, :] = p_ref[:, :, :] + (
+                    var_th * g_a[:, None, :] * g_a[None, :, :]
+                )
+                p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * var_d
+                p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * var_d
+                p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * var_d
+                p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * var_d
+            else:
+                u0 = -jac_d * s  # F_x(0,2)
+                u1 = jac_d * c   # F_x(1,2)
+                row2 = p_ref[2, :, :]  # (DP, BL)
+                p_ref[0, :, :] = p_ref[0, :, :] + u0 * row2
+                p_ref[1, :, :] = p_ref[1, :, :] + u1 * row2
+                col2 = p_ref[:, 2:3, :]  # (DP, 1, BL) — updated rows included
+                p_ref[:, 0:1, :] = p_ref[:, 0:1, :] + col2 * u0[None]
+                p_ref[:, 1:2, :] = p_ref[:, 1:2, :] + col2 * u1[None]
+                # F_v V F_v^T on the top-left 3x3 (ekf.cpp:51-54)
+                p_ref[0, 0:1, :] = p_ref[0, 0:1, :] + c * c * var_d
+                p_ref[0, 1:2, :] = p_ref[0, 1:2, :] + s * c * var_d
+                p_ref[1, 0:1, :] = p_ref[1, 0:1, :] + s * c * var_d
+                p_ref[1, 1:2, :] = p_ref[1, 1:2, :] + s * s * var_d
+                p_ref[2, 2:3, :] = p_ref[2, 2:3, :] + var_th
 
             x_ref[0:1, :] = x_ref[0:1, :] + eff_d * c
             x_ref[1:2, :] = x_ref[1:2, :] + eff_d * s
@@ -237,7 +285,92 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                 # correlated visibility it skips most of the O(D^2) work)
                 upd_any = (upd_any_vec[j, 0] > 0.0) if predicated else True
 
-                @pl.when(upd_any)
+                def _update_iekf():
+                    """Invariant update (models/iekf.py): constant
+                    H = [-I | 0 | +I], Cartesian innovation, exp
+                    retraction. No per-slot trig or divisions beyond the
+                    row-level cos/sin and the 2x2 S inverse."""
+                    xv = x_ref[0:1, :]
+                    yv = x_ref[1:2, :]
+                    thv = x_ref[2:3, :]
+                    lmx = x_ref[li:li + 1, :]
+                    lmy = x_ref[li + 1:li + 2, :]
+                    cth = jnp.cos(thv)
+                    sth = jnp.sin(thv)
+                    cbn = jnp.cos(bn)
+                    sbn = jnp.sin(bn)
+                    c1 = cth * cbn - sth * sbn   # cos(th + b)
+                    s1 = sth * cbn + cth * sbn   # sin(th + b)
+                    yw0 = rn * c1
+                    yw1 = rn * s1
+                    # Rtil = Rhat Jpc W Jpc^T Rhat^T via the unit (c1, s1)
+                    rr2 = rn * rn
+                    rt00 = w00f * c1 * c1 + w11f * rr2 * s1 * s1
+                    rt01 = (w00f - w11f * rr2) * c1 * s1
+                    rt11 = w00f * s1 * s1 + w11f * rr2 * c1 * c1
+
+                    c0 = p_ref[:, 0, :]
+                    cv1 = p_ref[:, 1, :]
+                    cl0 = p_ref[:, li, :]
+                    cl1 = p_ref[:, li + 1, :]
+                    pr = cl0 - c0   # P H^T column 0 (DP, BL)
+                    pb = cl1 - cv1  # P H^T column 1
+                    s00 = pr[li:li + 1] - pr[0:1] + rt00
+                    s01 = pb[li:li + 1] - pb[0:1] + rt01
+                    s10 = pr[li + 1:li + 2] - pr[1:2] + rt01
+                    s11 = pb[li + 1:li + 2] - pb[1:2] + rt11
+                    det = s00 * s11 - s01 * s10
+                    det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+                    i00 = s11 / det
+                    i01 = -s01 / det
+                    i10 = -s10 / det
+                    i11 = s00 / det
+                    k0 = (pr * i00 + pb * i10) * m_u
+                    k1 = (pr * i01 + pb * i11) * m_u
+
+                    nu0 = yw0 - (lmx - xv)
+                    nu1 = yw1 - (lmy - yv)
+                    xi = k0 * nu0 + k1 * nu1  # (DP, BL)
+
+                    # exp retraction (models/iekf._retract): rotate every
+                    # translation pair by R(dth) and add V(dth) xi; masked
+                    # worlds have xi = 0 -> bitwise identity
+                    dth = xi[2:3]
+                    cd = jnp.cos(dth)
+                    sd = jnp.sin(dth)
+                    small = jnp.abs(dth) < 1e-6
+                    dsafe = jnp.where(small, 1.0, dth)
+                    va = jnp.where(small, 1.0 - dth * dth / 6.0, sd / dsafe)
+                    vb = jnp.where(small, 0.5 * dth, (1.0 - cd) / dsafe)
+                    nvx = va * xi[0:1] - vb * xi[1:2] + cd * xv - sd * yv
+                    nvy = vb * xi[0:1] + va * xi[1:2] + sd * xv + cd * yv
+                    lxs = x_ref[3:3 + 2 * n_lm:2, :]
+                    lys = x_ref[4:4 + 2 * n_lm:2, :]
+                    kxs = xi[3:3 + 2 * n_lm:2]
+                    kys = xi[4:4 + 2 * n_lm:2]
+                    nlx = va * kxs - vb * kys + cd * lxs - sd * lys
+                    nly = vb * kxs + va * kys + sd * lxs + cd * lys
+                    x_ref[0:1, :] = nvx
+                    x_ref[1:2, :] = nvy
+                    x_ref[2:3, :] = _wrap(thv + dth)
+                    x_ref[3:3 + 2 * n_lm, :] = jnp.stack(
+                        [nlx, nly], axis=1
+                    ).reshape(2 * n_lm, bl)
+
+                    # P -= K (H P); H P honestly from P ROWS (same mixed
+                    # column/row discipline as the EKF kernel's fp32 note)
+                    r0 = p_ref[0, :, :]
+                    r1 = p_ref[1, :, :]
+                    rl0 = p_ref[li, :, :]
+                    rl1 = p_ref[li + 1, :, :]
+                    hp0 = rl0 - r0
+                    hp1 = rl1 - r1
+                    p_ref[:, :, :] = (
+                        p_ref[:, :, :]
+                        - k0[:, None, :] * hp0[None, :, :]
+                        - k1[:, None, :] * hp1[None, :, :]
+                    )
+
                 def _update():
                     xv = x_ref[0:1, :]
                     yv = x_ref[1:2, :]
@@ -324,10 +457,67 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                         - k1[:, None, :] * hp1[None, :, :]
                     )
 
+                pl.when(upd_any)(
+                    _update_iekf if filter_kind == "iekf" else _update
+                )
+
                 # ------- landmark insertion (ekf.cpp:141-173), predicated
                 ins_any = (ins_any_vec[j, 0] > 0.0) if predicated else True
 
-                @pl.when(ins_any)
+                def _insert_iekf():
+                    """Invariant insertion: eta_new = eta_p + Rhat n exactly
+                    — rows copy the vehicle-position rows, corner adds
+                    Rtil (models/iekf.py)."""
+                    xv = x_ref[0:1, :]
+                    yv = x_ref[1:2, :]
+                    thv = x_ref[2:3, :]
+                    cth = jnp.cos(thv)
+                    sth = jnp.sin(thv)
+                    cbn = jnp.cos(bn)
+                    sbn = jnp.sin(bn)
+                    c1 = cth * cbn - sth * sbn
+                    s1 = sth * cbn + cth * sbn
+                    sx = xv + rn * c1
+                    sy = yv + rn * s1
+                    ins = m_i > 0
+                    x_ref[li:li + 1, :] = jnp.where(ins, sx,
+                                                    x_ref[li:li + 1, :])
+                    x_ref[li + 1:li + 2, :] = jnp.where(
+                        ins, sy, x_ref[li + 1:li + 2, :]
+                    )
+                    rr2 = rn * rn
+                    rt00 = w00f * c1 * c1 + w11f * rr2 * s1 * s1
+                    rt01 = (w00f - w11f * rr2) * c1 * s1
+                    rt11 = w00f * s1 * s1 + w11f * rr2 * c1 * c1
+                    nr0 = p_ref[0, :, :]
+                    nr1 = p_ref[1, :, :]
+                    blk00 = p_ref[0, 0:1, :] + rt00
+                    blk01 = p_ref[0, 1:2, :] + rt01
+                    blk11 = p_ref[1, 1:2, :] + rt11
+                    p_ref[li, :, :] = jnp.where(ins, nr0, p_ref[li, :, :])
+                    p_ref[li + 1, :, :] = jnp.where(
+                        ins, nr1, p_ref[li + 1, :, :]
+                    )
+                    p_ref[:, li:li + 1, :] = jnp.where(
+                        ins[None], nr0[:, None, :], p_ref[:, li:li + 1, :]
+                    )
+                    p_ref[:, li + 1:li + 2, :] = jnp.where(
+                        ins[None], nr1[:, None, :],
+                        p_ref[:, li + 1:li + 2, :],
+                    )
+                    p_ref[li, li:li + 1, :] = jnp.where(
+                        ins, blk00, p_ref[li, li:li + 1, :]
+                    )
+                    p_ref[li, li + 1:li + 2, :] = jnp.where(
+                        ins, blk01, p_ref[li, li + 1:li + 2, :]
+                    )
+                    p_ref[li + 1, li:li + 1, :] = jnp.where(
+                        ins, blk01, p_ref[li + 1, li:li + 1, :]
+                    )
+                    p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
+                        ins, blk11, p_ref[li + 1, li + 1:li + 2, :]
+                    )
+
                 def _insert():
                     xv = x_ref[0:1, :]
                     yv = x_ref[1:2, :]
@@ -386,6 +576,10 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     p_ref[li + 1, li + 1:li + 2, :] = jnp.where(
                         ins, blk11, p_ref[li + 1, li + 1:li + 2, :]
                     )
+
+                pl.when(ins_any)(
+                    _insert_iekf if filter_kind == "iekf" else _insert
+                )
                 seen_ref[j:j + 1, :] = jnp.maximum(seen_now[j:j + 1, :], visj)
 
             # ---- error metric (plotting_node.py:195-218), online; row 4
@@ -415,13 +609,13 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
     jax.jit,
     static_argnames=(
         "cfg", "block_worlds", "interpret", "profile_mode", "t_chunk",
-        "emit_traj",
+        "emit_traj", "filter_kind",
     ),
 )
 def fused_ekf_rollout(
     cfg: Config, landmarks, cmds, seed, block_worlds: int = 256,
     interpret: bool = False, noise=None, profile_mode: str = "full",
-    t_chunk: int = 125, emit_traj: bool = False,
+    t_chunk: int = 125, emit_traj: bool = False, filter_kind: str = "ekf",
 ):
     """Run the full T-step sim+EKF rollout for a world batch in one kernel.
 
@@ -454,7 +648,7 @@ def fused_ekf_rollout(
     if emit_traj and profile_mode != "full":
         raise ValueError("emit_traj requires profile_mode='full'")
     kernel = _make_kernel(
-        cfg, n_lm, t_chunk, dp, bl,
+        cfg, n_lm, t_chunk, dp, bl, filter_kind=filter_kind,
         inject_noise=noise is not None, profile_mode=profile_mode,
         # the section predicates are a pure skip-work optimization (masked
         # gains already make skipped updates exact no-ops); the interpreter
@@ -579,3 +773,12 @@ def fused_ekf_rollout_sharded(
         )
 
     return run(*args)
+
+
+def fused_iekf_rollout(cfg: Config, landmarks, cmds, seed, **kw):
+    """Fused sim + right-invariant-EKF-SLAM rollout (models/iekf.py math in
+    the same lane-major single-kernel scaffold; see _make_kernel's
+    filter_kind notes). Same signature/returns as fused_ekf_rollout."""
+    return fused_ekf_rollout(
+        cfg, landmarks, cmds, seed, filter_kind="iekf", **kw
+    )

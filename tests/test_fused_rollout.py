@@ -139,3 +139,93 @@ def test_sharded_fused_rollout_matches_single_device():
     np.testing.assert_array_equal(
         np.asarray(out_sh["x"]), np.asarray(out_1["x"])
     )
+
+
+def _iekf_xla_run(cfg, lms_w, cmds_w, noise_w):
+    """Replay the kernel's in-kernel sim in float64 and drive the XLA
+    RI-EKF (models/iekf.py, itself dense-oracle-parity-tested) with the
+    id-ordered measurement lists."""
+    from live_ekf_slam_tpu.core.types import Measurements
+    from live_ekf_slam_tpu.models import iekf
+
+    v00, v11 = cfg.process_noise.V_00, cfg.process_noise.V_11
+    w00, w11 = cfg.sensing_noise.W_00, cfg.sensing_noise.W_11
+    s = iekf.init(cfg)
+    step = jax.jit(lambda s, cmd, m: iekf.update(cfg, s, cmd, m))
+    pose = np.array(cfg.init_pose, np.float64)
+    err_sum = 0.0
+    for t in range(T):
+        u = noise_w[t].astype(np.float64)
+        d = np.clip(cmds_w[t, 0] + v00 * u[0], 0,
+                    cfg.constraints.commands.d_max)
+        h = np.clip(
+            cmds_w[t, 1] + v11 * u[1],
+            -cfg.constraints.commands.th_max,
+            cfg.constraints.commands.th_max,
+        )
+        pose = np.array(
+            [pose[0] + d * math.cos(pose[2]),
+             pose[1] + d * math.sin(pose[2]), pose[2] + h]
+        )
+        ids = np.full(N, -1, np.int32)
+        r = np.zeros(N, np.float32)
+        b = np.zeros(N, np.float32)
+        valid = np.zeros(N, bool)
+        k = 0
+        for j in range(N):
+            dx, dy = lms_w[j] - pose[:2]
+            rr = math.hypot(dx, dy)
+            beta = math.remainder(math.atan2(dy, dx) - pose[2], 2 * math.pi)
+            if (
+                rr <= cfg.constraints.vision.range_max
+                and cfg.constraints.vision.fov_min
+                < beta
+                < cfg.constraints.vision.fov_max
+            ):
+                ids[k] = j
+                r[k] = rr + w00 * u[2 + j]
+                b[k] = beta + w11 * u[2 + N + j]
+                valid[k] = True
+                k += 1
+        m = Measurements(
+            ids=jnp.asarray(ids), r=jnp.asarray(r), b=jnp.asarray(b),
+            valid=jnp.asarray(valid), overflow=jnp.asarray(False),
+        )
+        s = step(s, jnp.asarray(cmds_w[t], jnp.float32), m)
+        xs = np.asarray(s.x)
+        err_sum += math.hypot(xs[0] - pose[0], xs[1] - pose[1])
+    return s, pose, err_sum
+
+
+def test_fused_iekf_matches_xla_model():
+    from live_ekf_slam_tpu.ops.fused_rollout import fused_iekf_rollout
+
+    cfg, lms, cmds, noise = _setup()
+    out = fused_iekf_rollout(
+        cfg, jnp.asarray(lms), jnp.asarray(cmds), 0,
+        block_worlds=B, interpret=True, noise=jnp.asarray(noise),
+    )
+    xs = np.asarray(out["x"])
+    ps = np.asarray(out["P"])
+    errs = np.asarray(out["err_sum"])
+    seen = np.asarray(out["seen"])
+    truth = np.asarray(out["true_pose"])
+    assert seen.sum(axis=1).max() >= 2, "test maps saw <2 landmarks"
+
+    for w in range(B):
+        s, pose, err_sum = _iekf_xla_run(cfg, lms[w], cmds[w], noise[:, :, w])
+        np.testing.assert_allclose(truth[w], pose, atol=1e-4)
+        assert abs(errs[w] - err_sum) < 2e-3 * max(err_sum, 1.0)
+        sx = np.asarray(s.x)
+        np.testing.assert_allclose(xs[w][:3], sx[:3], atol=5e-4)
+        ids = np.asarray(s.ids)[: int(s.M)]
+        assert set(ids.tolist()) == set(np.where(seen[w])[0].tolist())
+        for sl, mid in enumerate(ids.tolist()):
+            np.testing.assert_allclose(
+                xs[w][3 + 2 * mid:5 + 2 * mid],
+                sx[3 + 2 * sl:5 + 2 * sl],
+                atol=5e-4,
+            )
+        np.testing.assert_allclose(
+            ps[w][:3, :3], np.asarray(s.P)[:3, :3], atol=5e-4
+        )
