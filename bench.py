@@ -54,7 +54,9 @@ def main():
     from live_ekf_slam_tpu.sim import maps as sim_maps
     from live_ekf_slam_tpu.sim.trajectory import generate_trajectory
 
-    if impl == "pallas" and filt not in ("ekf_slam", "ukf_slam", "ukf_loc"):
+    if impl == "pallas" and filt not in (
+        "ekf_slam", "iekf_slam", "ukf_slam", "ukf_loc"
+    ):
         raise SystemExit(
             f"BENCH_FILTER={filt} has no Pallas kernel; set BENCH_IMPL=xla"
         )
@@ -99,8 +101,12 @@ def main():
     elif impl == "pallas":
         from live_ekf_slam_tpu.ops.fused_rollout import fused_ekf_rollout
 
+        kind = "iekf" if filt == "iekf_slam" else "ekf"
+
         def run(seed):
-            out = fused_ekf_rollout(cfg, lms, cmds, seed, block_worlds=block)
+            out = fused_ekf_rollout(
+                cfg, lms, cmds, seed, block_worlds=block, filter_kind=kind
+            )
             return np.asarray(out["err_sum"])
     else:
         from live_ekf_slam_tpu.eval.runner import init_carry, make_step
