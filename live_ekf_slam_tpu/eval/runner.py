@@ -524,8 +524,11 @@ def run_monte_carlo_pg_streams(
             "streams path does not support update_landmarks_after_adding"
         )
     secondary = cfg.pose_graph.filter_to_compare
-    if secondary not in ("naive", "ekf_slam"):
-        raise ValueError(f"streams path supports naive/ekf_slam secondary, got {secondary}")
+    if secondary not in ("naive", "ekf_slam", "iekf_slam"):
+        raise ValueError(
+            "streams path supports naive/ekf_slam/iekf_slam secondary, "
+            f"got {secondary}"
+        )
 
     from live_ekf_slam_tpu.sim.streams import naive_deadreckon, sim_streams
 
@@ -696,6 +699,7 @@ def run_monte_carlo_pg_streams(
                 cfg, lms_c, cmds_c, seed, block_worlds=bw,
                 noise=jnp.transpose(st_c["noise_u"], (1, 2, 0)),
                 emit_traj=True, interpret=interpret,
+                filter_kind="iekf" if secondary == "iekf_slam" else "ekf",
             )
             est_c = out["est_traj"]
         graphs_c, m_at_c, err_sec_c, max_sec_c = assemble_chunk(

@@ -627,3 +627,38 @@ def test_streams_replay_prefix_windows_exact(monkeypatch):
         res_win["err_pose_graph_initial"],
         res_full["err_pose_graph_initial"], atol=1e-4,
     )
+
+
+def test_streams_path_matches_scan_path_iekf():
+    """RI-EKF-secondary streams path: the fused kernel (filter_kind=iekf)
+    consumes the same injected noise draws as the closed-form sim, so its
+    pose stream seeds the same graph the scan path builds."""
+    import dataclasses
+
+    from live_ekf_slam_tpu.eval.runner import run_monte_carlo_pg_streams
+
+    cfg = Config(num_iterations=60).replace(
+        filter="pose_graph", num_landmark_slots=6, num_meas_slots=6
+    )
+    cfg = cfg.replace(
+        map=cfg.map.__class__(num_landmarks=6),
+        pose_graph=dataclasses.replace(
+            cfg.pose_graph,
+            filter_to_compare="iekf_slam",
+            solve_graph_every_iteration=False,
+        ),
+    )
+    key = jax.random.PRNGKey(6)
+    res_scan, _, _ = run_monte_carlo(
+        cfg, key, batch=2, seed=5, collect="poses"
+    )
+    res_str, _, _ = run_monte_carlo_pg_streams(
+        cfg, key, batch=2, seed=5, block_worlds=2
+    )
+    np.testing.assert_allclose(
+        res_str["err_iekf_slam"], res_scan["err_iekf_slam"], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        res_str["err_pose_graph_result"],
+        res_scan["err_pose_graph_result"], atol=5e-3,
+    )
