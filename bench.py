@@ -48,6 +48,11 @@ def main():
     target = 10_000.0
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu for off-TPU smoke runs (the axon plugin
+    # force-prepends itself regardless of the env var)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from live_ekf_slam_tpu.config import Config
