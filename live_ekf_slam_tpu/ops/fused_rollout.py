@@ -209,10 +209,13 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                 # (c, s, 0, ...) — a 2x2 block — and the yaw-noise column
                 # g_a = Ad_Xhat(1, (0, -d)) couples into every ACTIVE
                 # translation slot: one full rank-1 pass over P
-                xv0 = x_ref[0:1, :]
-                xv1 = x_ref[1:2, :]
-                lm_x = x_ref[3:3 + 2 * n_lm:2, :]  # (N, BL)
-                lm_y = x_ref[4:4 + 2 * n_lm:2, :]
+                xval = x_ref[:, :]  # full value read: strided REF
+                # slicing has no Mosaic lowering precedent in this codebase,
+                # strided VALUE slicing does lower (sublane shuffle)
+                xv0 = xval[0:1, :]
+                xv1 = xval[1:2, :]
+                lm_x = xval[3:3 + 2 * n_lm:2]  # (N, BL)
+                lm_y = xval[4:4 + 2 * n_lm:2]
                 seen_now_p = seen_ref[:, :]  # (N, BL) active-slot mask
                 g_lm = jnp.stack(
                     [seen_now_p * lm_y, -seen_now_p * lm_x], axis=1
@@ -344,8 +347,9 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     vb = jnp.where(small, 0.5 * dth, (1.0 - cd) / dsafe)
                     nvx = va * xi[0:1] - vb * xi[1:2] + cd * xv - sd * yv
                     nvy = vb * xi[0:1] + va * xi[1:2] + sd * xv + cd * yv
-                    lxs = x_ref[3:3 + 2 * n_lm:2, :]
-                    lys = x_ref[4:4 + 2 * n_lm:2, :]
+                    xval = x_ref[:, :]
+                    lxs = xval[3:3 + 2 * n_lm:2]
+                    lys = xval[4:4 + 2 * n_lm:2]
                     kxs = xi[3:3 + 2 * n_lm:2]
                     kys = xi[4:4 + 2 * n_lm:2]
                     nlx = va * kxs - vb * kys + cd * lxs - sd * lys
