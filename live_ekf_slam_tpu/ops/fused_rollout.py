@@ -209,27 +209,28 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                 # (c, s, 0, ...) — a 2x2 block — and the yaw-noise column
                 # g_a = Ad_Xhat(1, (0, -d)) couples into every ACTIVE
                 # translation slot: one full rank-1 pass over P
-                xval = x_ref[:, :]  # full value read: strided REF
-                # slicing has no Mosaic lowering precedent in this codebase,
-                # strided VALUE slicing does lower (sublane shuffle)
+                # conservative Mosaic spelling: contiguous (1, BL) row
+                # slices + one sublane concatenate (no strided ref reads, no
+                # stack/reshape interleaves — neither has lowering precedent
+                # in this codebase)
+                xval = x_ref[:, :]
                 xv0 = xval[0:1, :]
                 xv1 = xval[1:2, :]
-                lm_x = xval[3:3 + 2 * n_lm:2]  # (N, BL)
-                lm_y = xval[4:4 + 2 * n_lm:2]
                 seen_now_p = seen_ref[:, :]  # (N, BL) active-slot mask
-                g_lm = jnp.stack(
-                    [seen_now_p * lm_y, -seen_now_p * lm_x], axis=1
-                ).reshape(2 * n_lm, bl)
-                g_a = jnp.concatenate(
-                    [
-                        jac_d * s + xv1,
-                        -jac_d * c - xv0,
-                        jnp.ones((1, bl), jnp.float32),
-                        g_lm,
-                        jnp.zeros((dp - 3 - 2 * n_lm, bl), jnp.float32),
-                    ],
-                    axis=0,
-                )  # (DP, BL)
+                pieces = [
+                    jac_d * s + xv1,
+                    -jac_d * c - xv0,
+                    jnp.ones((1, bl), jnp.float32),
+                ]
+                for jj in range(n_lm):
+                    sj = seen_now_p[jj:jj + 1, :]
+                    pieces.append(sj * xval[4 + 2 * jj:5 + 2 * jj, :])
+                    pieces.append(-sj * xval[3 + 2 * jj:4 + 2 * jj, :])
+                if dp > 3 + 2 * n_lm:
+                    pieces.append(
+                        jnp.zeros((dp - 3 - 2 * n_lm, bl), jnp.float32)
+                    )
+                g_a = jnp.concatenate(pieces, axis=0)  # (DP, BL)
                 p_ref[:, :, :] = p_ref[:, :, :] + (
                     var_th * g_a[:, None, :] * g_a[None, :, :]
                 )
@@ -348,18 +349,23 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, dp: int, bl: int,
                     nvx = va * xi[0:1] - vb * xi[1:2] + cd * xv - sd * yv
                     nvy = vb * xi[0:1] + va * xi[1:2] + sd * xv + cd * yv
                     xval = x_ref[:, :]
-                    lxs = xval[3:3 + 2 * n_lm:2]
-                    lys = xval[4:4 + 2 * n_lm:2]
-                    kxs = xi[3:3 + 2 * n_lm:2]
-                    kys = xi[4:4 + 2 * n_lm:2]
-                    nlx = va * kxs - vb * kys + cd * lxs - sd * lys
-                    nly = vb * kxs + va * kys + sd * lxs + cd * lys
                     x_ref[0:1, :] = nvx
                     x_ref[1:2, :] = nvy
                     x_ref[2:3, :] = _wrap(thv + dth)
-                    x_ref[3:3 + 2 * n_lm, :] = jnp.stack(
-                        [nlx, nly], axis=1
-                    ).reshape(2 * n_lm, bl)
+                    # per-pair rotation writes: contiguous (1, BL) row ops
+                    # only (see the predict branch's Mosaic-spelling note)
+                    for jj in range(n_lm):
+                        a0 = 3 + 2 * jj
+                        lxj = xval[a0:a0 + 1, :]
+                        lyj = xval[a0 + 1:a0 + 2, :]
+                        kxj = xi[a0:a0 + 1]
+                        kyj = xi[a0 + 1:a0 + 2]
+                        x_ref[a0:a0 + 1, :] = (
+                            va * kxj - vb * kyj + cd * lxj - sd * lyj
+                        )
+                        x_ref[a0 + 1:a0 + 2, :] = (
+                            vb * kxj + va * kyj + sd * lxj + cd * lyj
+                        )
 
                     # P -= K (H P); H P honestly from P ROWS (same mixed
                     # column/row discipline as the EKF kernel's fp32 note)
