@@ -87,6 +87,7 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
     accum = {}
     for i in range(0, worlds, batch_chunk):
         b = min(batch_chunk, worlds - i)
+        t_chunk0 = time.perf_counter()
         # the TPU tunnel occasionally drops a request mid-compile
         # (remote_compile "response body closed"); retry the chunk
         for attempt in range(retries):
@@ -110,7 +111,8 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
                 time.sleep(20.0 * (attempt + 1))
         for k, v in res.items():
             accum.setdefault(k, []).append(np.asarray(v))
-        log(f"    {i + b}/{worlds} worlds")
+        log(f"    {i + b}/{worlds} worlds "
+            f"({time.perf_counter() - t_chunk0:.1f}s)")
     return {k: np.concatenate(v) for k, v in accum.items()}
 
 
