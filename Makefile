@@ -1,0 +1,35 @@
+# Developer entry points. The TPU targets assume the axon tunnel is up;
+# everything else runs on CPU (tests force a virtual 8-device CPU mesh).
+
+.PHONY: test native bench bench-ukf bench-iekf matrix consistency demo dryrun clean
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	$(MAKE) -C native
+
+bench:          ## headline EKF benchmark on the TPU (one JSON line)
+	python bench.py
+
+bench-ukf:
+	BENCH_FILTER=ukf_slam python bench.py
+
+bench-iekf:
+	BENCH_FILTER=iekf_slam python bench.py
+
+matrix:         ## full accuracy matrix (TPU; resumes from the output file)
+	python scripts/accuracy_matrix.py --out docs/accuracy_matrix_v2.json
+
+consistency:    ## NEES comparison EKF vs RI-EKF (CPU-friendly)
+	JAX_PLATFORMS=cpu python scripts/consistency.py
+
+demo:           ## headless filter demo (CPU)
+	JAX_PLATFORMS=cpu MPLBACKEND=Agg python -m live_ekf_slam_tpu.cli \
+		filter_demo_results_only --filter ekf_slam --steps 200
+
+dryrun:         ## multi-chip sharding dryrun on a virtual CPU mesh
+	python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
+clean:
+	$(MAKE) -C native clean
