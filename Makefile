@@ -1,10 +1,13 @@
 # Developer entry points. The TPU targets assume the axon tunnel is up;
 # everything else runs on CPU (tests force a virtual 8-device CPU mesh).
 
-.PHONY: test native bench bench-ukf bench-iekf matrix consistency demo dryrun clean
+.PHONY: test test-quick native bench bench-ukf bench-iekf matrix consistency demo dryrun clean
 
 test:
 	python -m pytest tests/ -q
+
+test-quick:     ## edit-loop tier: skips @pytest.mark.slow (<~3 min on CPU)
+	python -m pytest tests/ -q -m "not slow"
 
 native:
 	$(MAKE) -C native

@@ -56,11 +56,14 @@ def _frame_from_state(cfg, name, state, t, true_pose, est_pose, path=None):
     from live_ekf_slam_tpu.viz.live import Frame
 
     lm = cov = sig = None
-    if name in ("ekf_slam", "ukf_slam", "ukf_loc"):
+    if name in ("ekf_slam", "iekf_slam", "ukf_slam", "ukf_loc"):
         m = int(state.M)
+        # for iekf_slam P is expressed in right-invariant coordinates; the
+        # ellipse rendering treats it as a world-frame covariance, which is
+        # exact at identity error and a first-order approximation otherwise
         cov = np.asarray(state.P)
         ids = np.asarray(state.ids)[:m]
-        base = 3 if name == "ekf_slam" else 4
+        base = 3 if name in ("ekf_slam", "iekf_slam") else 4
         xs = np.asarray(state.x)
         lm = np.array(
             [[ids[i], xs[base + 2 * i], xs[base + 2 * i + 1]] for i in range(m)]
@@ -192,7 +195,7 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
         n = cfg.num_landmark_slots
         # frame layout sized to what this filter renders: covariance block,
         # UKF sigma-point block, pose-graph panel histories
-        if state_name == "ekf_slam":
+        if state_name in ("ekf_slam", "iekf_slam"):
             d_cov = 3 + 2 * n
         elif state_name == "ukf_slam":
             d_cov = 4 + 2 * n

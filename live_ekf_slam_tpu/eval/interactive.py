@@ -108,11 +108,19 @@ class GoalPursuit:
         Returns the (fwd, ang) command for the next sim tick.
         """
         self._cur = list(np.asarray(est_pose, dtype=float))
-        # swap in a completed async replan before steering this tick
+        # Swap in a completed async replan before steering this tick. The
+        # segment was planned from a pose snapshot up to replan_period ticks
+        # old (<= replan_period * dt * max_fwd_cmd meters of drift); pure
+        # pursuit's lookahead re-targets from the live pose, which absorbs
+        # that bound. A blocked replan (seg=None) clears the queue so the
+        # vehicle HOLDS — matching the sync path's (0,0) stop command —
+        # instead of driving a stale path into the obstruction.
         if self._pending is not None and self._pending["done"]:
             if self._pending["seg"] is not None:
                 self.pp.goal_queue = self._pending["seg"]
-                self.async_replans += 1
+            else:
+                self.pp.goal_queue = []
+            self.async_replans += 1
             self._pending = None
         if self.cfg.use_local_planner and getattr(self, "_t", 0) % \
                 self.cfg.path_planning.replan_period == 0:

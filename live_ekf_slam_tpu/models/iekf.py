@@ -196,7 +196,9 @@ def _meas_slot_update(cfg: Config, carry, slot, w_diag):
     ph_t = dot32(p, e_upd) - p[:, :2]  # (D, 2)
     ss = dot32(e_upd.T, ph_t) - ph_t[:2, :] + rtil  # 2x2
     det = ss[0, 0] * ss[1, 1] - ss[0, 1] * ss[1, 0]
-    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    # same small positive floor as the Pallas twin (ops/fused_rollout.py):
+    # a near-singular S in fp32 must not produce an unbounded gain
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
     s_inv = (
         jnp.array([[ss[1, 1], -ss[0, 1]], [-ss[1, 0], ss[0, 0]]], jnp.float32)
         / det

@@ -612,12 +612,14 @@ def _make_kernel(cfg: Config, n_lm: int, t_chunk: int, du: int, dup: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "slam", "block_worlds", "interpret", "t_chunk"),
+    static_argnames=(
+        "cfg", "slam", "block_worlds", "interpret", "t_chunk", "predicated"
+    ),
 )
 def fused_ukf_rollout(
     cfg: Config, landmarks, cmds, seed, slam: bool = True,
     block_worlds: int = 128, interpret: bool = False, noise=None,
-    t_chunk: int = 125,
+    t_chunk: int = 125, predicated: bool | None = None,
 ):
     """Full T-step sim+UKF rollout for a world batch in one kernel.
 
@@ -642,10 +644,16 @@ def fused_ukf_rollout(
     lms_t = jnp.transpose(landmarks, (1, 2, 0)).astype(jnp.float32)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
+    # Predication (pivot-skip / update-skip pl.when guards) is forced off in
+    # interpret mode, so CPU parity tests exercise only the unpredicated
+    # spelling; `predicated` is exposed so scripts/ukf_predication_ab.py can
+    # A/B the two kernels bitwise ON HARDWARE (ADVICE r3 #4).
+    if predicated is None:
+        predicated = not interpret
     kernel = _make_kernel(
         cfg, n_lm, t_chunk, du, dup, bl, slam,
         inject_noise=noise is not None,
-        predicated=not interpret,
+        predicated=predicated,
     )
     in_specs = [
         pl.BlockSpec((t_chunk, 2, bl), lambda i, tc, *_: (tc, 0, i)),

@@ -85,6 +85,7 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
     )
 
     accum = {}
+    chunk_s = []
     for i in range(0, worlds, batch_chunk):
         b = min(batch_chunk, worlds - i)
         t_chunk0 = time.perf_counter()
@@ -111,9 +112,17 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
                 time.sleep(20.0 * (attempt + 1))
         for k, v in res.items():
             accum.setdefault(k, []).append(np.asarray(v))
-        log(f"    {i + b}/{worlds} worlds "
-            f"({time.perf_counter() - t_chunk0:.1f}s)")
-    return {k: np.concatenate(v) for k, v in accum.items()}
+        chunk_s.append(round(time.perf_counter() - t_chunk0, 1))
+        log(f"    {i + b}/{worlds} worlds ({chunk_s[-1]:.1f}s)")
+    out = {k: np.concatenate(v) for k, v in accum.items()}
+    # compile-vs-exec split (VERDICT r3 weak #7): same-shape chunks reuse the
+    # jit cache, so chunk 0 = compile + exec and chunks 1.. = exec only.
+    timing = {"chunk_s": chunk_s}
+    if len(chunk_s) > 1:
+        exec_s = float(np.median(chunk_s[1:]))
+        timing["exec_s_per_chunk"] = round(exec_s, 1)
+        timing["compile_s_est"] = round(chunk_s[0] - exec_s, 1)
+    return out, timing
 
 
 def main():
@@ -182,11 +191,13 @@ def main():
         t0 = time.perf_counter()
         log(f"[{name}] {args.worlds} worlds ...")
         chunk = args.batch_chunk if args.smoke else 512
-        res = run_config(cfg, args.worlds, chunk,
-                         key_seed=zlib.crc32(name.encode()) % 100000, impl=impl)
+        res, timing = run_config(
+            cfg, args.worlds, chunk,
+            key_seed=zlib.crc32(name.encode()) % 100000, impl=impl)
         out["configs"][name] = {
             filt: robust_stats(res["err_" + filt], res["diverged_" + filt]),
             "wall_s": round(time.perf_counter() - t0, 1),
+            "timing": timing,
         }
         save()
         log(f"[{name}] {out['configs'][name]}")
@@ -219,10 +230,12 @@ def main():
         impl = "xla" if args.smoke else "streams"
         chunk = args.batch_chunk if args.smoke else (
             256 if iterative else 512)
-        res = run_config(cfg, worlds, chunk,
-                         key_seed=zlib.crc32(name.encode()) % 100000,
-                         collect="poses", impl=impl)
+        res, timing = run_config(
+            cfg, worlds, chunk,
+            key_seed=zlib.crc32(name.encode()) % 100000,
+            collect="poses", impl=impl)
         cfgstats = {
+            "timing": timing,
             "secondary": robust_stats(
                 res["err_" + secondary], res["diverged_" + secondary]
             ),

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--relabel", action="store_true",
                     help="TSP-visit-order landmark relabeling (bench protocol)")
+    ap.add_argument("--noise", choices=("default", "low", "high"),
+                    default="default",
+                    help="accuracy-matrix noise profile (low = chase the "
+                    "VERDICT r3 weak-#4 low-noise heavy tail)")
     args = ap.parse_args()
 
     import dataclasses
@@ -37,6 +41,16 @@ def main():
 
     cfg = Config(num_iterations=args.t).replace(filter="ukf_slam")
     cfg = cfg.replace(ukf=dataclasses.replace(cfg.ukf, sigma_sqrt="chol"))
+    if args.noise != "default":
+        from accuracy_matrix import HIGH_NOISE, LOW_NOISE
+
+        prof = LOW_NOISE if args.noise == "low" else HIGH_NOISE
+        cfg = cfg.replace(
+            process_noise=dataclasses.replace(
+                cfg.process_noise, V_00=prof["V_00"], V_11=prof["V_11"]),
+            sensing_noise=dataclasses.replace(
+                cfg.sensing_noise, W_00=prof["W_00"], W_11=prof["W_11"]),
+        )
     rng = np.random.default_rng(0)
     lms = jnp.asarray(sim_maps.random_landmarks_batched(cfg, rng, args.worlds))
     keys = jax.random.split(jax.random.PRNGKey(1), args.worlds)
@@ -67,14 +81,24 @@ def main():
     rejects = np.asarray(out["update_rejects"])
     err_max = np.asarray(out["err_max"])
 
+    rej = rejects > 0
     print(json.dumps({
-        "worlds": args.worlds, "t": args.t,
+        "worlds": args.worlds, "t": args.t, "noise": args.noise,
         "steps_per_s_per_world": round(args.t / elapsed, 1),
         "warmup_s": round(warm, 1),
         "mean_err": round(float(np.nanmean(err)), 4),
         "median_err": round(float(np.nanmedian(err)), 4),
-        "worlds_with_any_reject": int((rejects > 0).sum()),
+        "p90_err": round(float(np.nanpercentile(err, 90)), 4),
+        "p99_err": round(float(np.nanpercentile(err, 99)), 4),
+        "worlds_with_any_reject": int(rej.sum()),
         "total_rejects": int(rejects.sum()),
+        # tail attribution: is the mean/median skew carried by the worlds
+        # whose updates the innovation gate rejected (coasting), or by
+        # cleanly-updating worlds (which would point at the sigma algebra)?
+        "mean_err_rejecting": round(float(np.nanmean(err[rej])), 4)
+        if rej.any() else None,
+        "mean_err_clean": round(float(np.nanmean(err[~rej])), 4),
+        "median_err_clean": round(float(np.nanmedian(err[~rej])), 4),
         "worlds_err_over_1m": int((err > 1.0).sum()),
         "worlds_diverged_50m": int((err_max > 50.0).sum()),
         "max_err": round(float(np.nanmax(err)), 3),
