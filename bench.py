@@ -54,11 +54,6 @@ def emit_skip(reason, detail=""):
 
 
 def tpu_reachable(timeout_s=None):
-    if timeout_s is None:
-        # after a Pallas-program client exits, the tunnel can refuse the next
-        # client for 3-5 min (alternating probe-hangs observed in the r4
-        # queue logs) — default high enough to ride that out
-        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "330"))
     """Probe the axon TPU tunnel in a CHILD process with a hard timeout.
 
     The tunnel's observed failure modes are (a) backend-init RuntimeError and
@@ -68,6 +63,11 @@ def tpu_reachable(timeout_s=None):
     before the main run starts). Reading a scalar forces real execution;
     block_until_ready returns early through the tunnel.
     """
+    if timeout_s is None:
+        # after a Pallas-program client exits, the tunnel can refuse the next
+        # client for 3-5 min (alternating probe-hangs observed in the r4
+        # queue logs) — default high enough to ride that out
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "330"))
     probe = (
         "import jax, jax.numpy as jnp\n"
         "y = jnp.ones((128, 128)) @ jnp.ones((128, 128))\n"
