@@ -647,7 +647,9 @@ def fused_ukf_rollout(
     # Predication (pivot-skip / update-skip pl.when guards) is forced off in
     # interpret mode, so CPU parity tests exercise only the unpredicated
     # spelling; `predicated` is exposed so scripts/ukf_predication_ab.py can
-    # A/B the two kernels bitwise ON HARDWARE (ADVICE r3 #4).
+    # A/B the two kernels bitwise ON HARDWARE. Verified r4 on-chip: all
+    # outputs (x, P, err_sum, err_max, seen, update_rejects) bit-identical
+    # over 256 worlds x 1000 ticks (ADVICE r3 #4 closed).
     if predicated is None:
         predicated = not interpret
     kernel = _make_kernel(
