@@ -81,6 +81,37 @@ def _frame_from_state(cfg, name, state, t, true_pose, est_pose, path=None):
     )
 
 
+def populate_pg_frame(cfg, pg, t, fr):
+    """Fill Frame.pg_initial / pg_result / pg_landmarks from a PoseGraphState.
+
+    Shared by the sync demo loop, the async viewer producer, and
+    scripts/capture_demo.py (plotting_node.py:444-455 panel semantics): the
+    growing initial graph every tick, the per-tick solution when iterative
+    mode keeps one, and — on the final tick — the full posegraph.finalize
+    solve overriding both. Returns (timestep, n_landmarks) for the caller's
+    measurement-connection handling (which differs per site).
+    """
+    import jax
+
+    ts = int(pg.timestep)
+    m = int(pg.M)
+    fr.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
+    if m:
+        fr.pg_landmarks = np.asarray(pg.lms_init)[:m]
+    if cfg.pose_graph.solve_graph_every_iteration and bool(pg.solved):
+        fr.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
+        if m:
+            fr.pg_landmarks = np.asarray(pg.lms_sol)[:m]
+    if t + 1 >= cfg.num_iterations:
+        from live_ekf_slam_tpu.models import posegraph
+
+        solved = jax.jit(lambda s: posegraph.finalize(cfg, s))(pg)
+        fr.pg_result = np.asarray(solved.poses_sol)[: ts + 1]
+        if m:
+            fr.pg_landmarks = np.asarray(solved.lms_sol)[:m]
+    return ts, m
+
+
 def run_sim_base(cfg, seed=0, base_dir=None):
     """sim_base.launch semantics: simulator + plotter + goal pursuit, NO
     localization node (sim_base.launch:11-15 starts only sim_node,
@@ -234,35 +265,8 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
                         cfg, state_name, state, t + 1, tp_, ep_
                     )
                     if pg_mode:
-                        # pose-graph panel fields (plotting_node.py:444-455):
-                        # the growing initial graph, the per-tick solution in
-                        # iterative mode, and the final solve on the last tick
                         pg = c.primary
-                        ts = int(pg.timestep)
-                        m = int(pg.M)
-                        fr.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
-                        if m:
-                            fr.pg_landmarks = np.asarray(pg.lms_init)[:m]
-                        if (
-                            cfg.pose_graph.solve_graph_every_iteration
-                            and bool(pg.solved)
-                        ):
-                            fr.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
-                            if m:
-                                fr.pg_landmarks = np.asarray(pg.lms_sol)[:m]
-                        if t + 1 >= cfg.num_iterations:
-                            from live_ekf_slam_tpu.models import posegraph
-
-                            solved = jax.jit(
-                                lambda s: posegraph.finalize(cfg, s)
-                            )(pg)
-                            fr.pg_result = np.asarray(
-                                solved.poses_sol
-                            )[: ts + 1]
-                            if m:
-                                fr.pg_landmarks = np.asarray(
-                                    solved.lms_sol
-                                )[:m]
+                        ts, m = populate_pg_frame(cfg, pg, t, fr)
                         if (
                             cfg.plotter.pg_show_meas_connections
                             and ts > 0 and m
@@ -324,26 +328,7 @@ def run_demo(cfg, seed=0, live=True, base_dir=None):
             )
             if name == "pose_graph":
                 pg = carry.primary
-                ts = int(pg.timestep)
-                m = int(pg.M)
-                # live panel every tick: the growing "initial" graph (the
-                # reference publishes PoseGraphState each tick), the
-                # per-tick solution when iterative mode keeps one, and the
-                # measurement-connection pairs for the overlay flags
-                frame.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
-                if m:
-                    frame.pg_landmarks = np.asarray(pg.lms_init)[:m]
-                if cfg.pose_graph.solve_graph_every_iteration and bool(pg.solved):
-                    frame.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
-                    frame.pg_landmarks = np.asarray(pg.lms_sol)[:m] if m else None
-                if t + 1 >= cfg.num_iterations:
-                    from live_ekf_slam_tpu.models import posegraph
-
-                    solved = jax.jit(lambda s: posegraph.finalize(cfg, s))(
-                        carry.primary
-                    )
-                    frame.pg_result = np.asarray(solved.poses_sol)[: ts + 1]
-                    frame.pg_landmarks = np.asarray(solved.lms_sol)[:m]
+                ts, m = populate_pg_frame(cfg, pg, t, frame)
                 if (
                     cfg.plotter.pg_show_meas_connections
                     and ts > 0 and m

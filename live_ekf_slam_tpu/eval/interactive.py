@@ -37,7 +37,8 @@ class GoalPursuit:
         self.using_blank_map = bool((occ > 0.5).all())
         self._sched = None
         self._pending = None
-        self.async_replans = 0
+        self.async_replans = 0          # replans that landed (segment swapped)
+        self.async_replans_blocked = 0  # replans that found no path (held 1 tick)
         if cfg.path_planning.async_replan:
             from live_ekf_slam_tpu import native
 
@@ -112,15 +113,19 @@ class GoalPursuit:
         # segment was planned from a pose snapshot up to replan_period ticks
         # old (<= replan_period * dt * max_fwd_cmd meters of drift); pure
         # pursuit's lookahead re-targets from the live pose, which absorbs
-        # that bound. A blocked replan (seg=None) clears the queue so the
-        # vehicle HOLDS — matching the sync path's (0,0) stop command —
-        # instead of driving a stale path into the obstruction.
+        # that bound. A blocked replan (seg=None) mirrors the sync path's
+        # behavior exactly: emit ONE (0,0) stop tick and KEEP the existing
+        # queue (the sync branch below returns (0,0) without clearing it),
+        # so the vehicle resumes its still-valid path next tick.
         if self._pending is not None and self._pending["done"]:
             if self._pending["seg"] is not None:
                 self.pp.goal_queue = self._pending["seg"]
+                self.async_replans += 1
             else:
-                self.pp.goal_queue = []
-            self.async_replans += 1
+                self.async_replans_blocked += 1
+                self._pending = None
+                self._t = getattr(self, "_t", 0) + 1
+                return (0.0, 0.0)
             self._pending = None
         if self.cfg.use_local_planner and getattr(self, "_t", 0) % \
                 self.cfg.path_planning.replan_period == 0:

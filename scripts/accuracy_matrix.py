@@ -86,6 +86,7 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
 
     accum = {}
     chunk_s = []
+    chunk_b = []
     for i in range(0, worlds, batch_chunk):
         b = min(batch_chunk, worlds - i)
         t_chunk0 = time.perf_counter()
@@ -113,15 +114,20 @@ def run_config(cfg, worlds, batch_chunk, key_seed, collect="sums",
         for k, v in res.items():
             accum.setdefault(k, []).append(np.asarray(v))
         chunk_s.append(round(time.perf_counter() - t_chunk0, 1))
+        chunk_b.append(b)
         log(f"    {i + b}/{worlds} worlds ({chunk_s[-1]:.1f}s)")
     out = {k: np.concatenate(v) for k, v in accum.items()}
     # compile-vs-exec split (VERDICT r3 weak #7): same-shape chunks reuse the
-    # jit cache, so chunk 0 = compile + exec and chunks 1.. = exec only.
+    # jit cache, so chunk 0 = compile + exec and later SAME-SIZE chunks are
+    # exec only. A ragged last chunk recompiles (different batch shape), so
+    # it is excluded from the exec median; the estimate is clamped at 0
+    # (timing noise can put the median above chunk 0 on fast configs).
     timing = {"chunk_s": chunk_s}
-    if len(chunk_s) > 1:
-        exec_s = float(np.median(chunk_s[1:]))
+    warm = [t for t, b in zip(chunk_s[1:], chunk_b[1:]) if b == chunk_b[0]]
+    if warm:
+        exec_s = float(np.median(warm))
         timing["exec_s_per_chunk"] = round(exec_s, 1)
-        timing["compile_s_est"] = round(chunk_s[0] - exec_s, 1)
+        timing["compile_s_est"] = round(max(chunk_s[0] - exec_s, 0.0), 1)
     return out, timing
 
 
@@ -279,7 +285,9 @@ def main():
     for name, st in out["configs"].items():
         if not name.startswith("solo_"):
             continue
-        k = [kk for kk in st if kk != "wall_s"][0]
+        # the filter key is everything between "solo_" and the noise suffix;
+        # never key-order-dependent (st also holds wall_s and timing)
+        k = name[len("solo_"):].rsplit("_", 1)[0]
         print(f"| {name} | {st[k]['mean']} ± {st[k]['ci95']} | {st[k]['diverged']} |")
 
 

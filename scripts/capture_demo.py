@@ -56,23 +56,9 @@ def capture_one(cfg, seed, gif_path, png_path, stride):
         state = c.secondary if pg_mode else c.primary
         fr = _frame_from_state(cfg, state_name, state, t + 1, tp_, ep_)
         if pg_mode:
-            pg = c.primary
-            ts = int(pg.timestep)
-            m = int(pg.M)
-            fr.pg_initial = np.asarray(pg.poses_init)[: ts + 1]
-            if m:
-                fr.pg_landmarks = np.asarray(pg.lms_init)[:m]
-            if cfg.pose_graph.solve_graph_every_iteration and bool(pg.solved):
-                fr.pg_result = np.asarray(pg.poses_sol)[: ts + 1]
-                if m:
-                    fr.pg_landmarks = np.asarray(pg.lms_sol)[:m]
-            if t + 1 >= cfg.num_iterations:
-                from live_ekf_slam_tpu.models import posegraph
+            from live_ekf_slam_tpu.cli import populate_pg_frame
 
-                solved = jax.jit(lambda s: posegraph.finalize(cfg, s))(pg)
-                fr.pg_result = np.asarray(solved.poses_sol)[: ts + 1]
-                if m:
-                    fr.pg_landmarks = np.asarray(solved.lms_sol)[:m]
+            populate_pg_frame(cfg, c.primary, t, fr)
         viewer.update(fr)
         if t % stride == 0 or t + 1 >= cfg.num_iterations:
             viewer.fig.canvas.draw()

@@ -110,12 +110,28 @@ def calibrate(base, regime, worlds, scale_w, tol=0.03, max_iter=4):
     for it in range(max_iter):
         st = measure_naive(base, s, worlds, scale_w)
         history.append({"scale": round(s, 4), **st})
-        log(f"  calibrate[{regime}] s={s:.3f} -> naive {st['mean']:.4f} m "
+        log(f"  calibrate[{regime}] s={s:.3f} -> naive {st['mean']} m "
             f"(target {target:.4f})")
+        if not np.isfinite(st["mean"]) or st["n"] == 0:
+            # every world diverged at this scale: back off instead of
+            # propagating NaN through the secant update
+            s *= 0.5
+            continue
         if abs(st["mean"] - target) / target < tol:
-            break
+            return s, history
         s = s * target / st["mean"]  # linear update
-    return s, history
+    # max_iter exhausted: the final extrapolated s was never measured —
+    # return the MEASURED scale whose naive mean landed closest to target
+    measured = [h for h in history if np.isfinite(h["mean"]) and h["n"] > 0]
+    if not measured:
+        raise RuntimeError(
+            f"calibrate[{regime}]: no finite naive measurement at any scale "
+            f"(history: {history})"
+        )
+    best = min(measured, key=lambda h: abs(h["mean"] - target))
+    log(f"  calibrate[{regime}] exhausted {max_iter} iters; using best "
+        f"measured s={best['scale']} (naive {best['mean']})")
+    return best["scale"], history
 
 
 def main():

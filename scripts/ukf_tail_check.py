@@ -97,8 +97,10 @@ def main():
         # cleanly-updating worlds (which would point at the sigma algebra)?
         "mean_err_rejecting": round(float(np.nanmean(err[rej])), 4)
         if rej.any() else None,
-        "mean_err_clean": round(float(np.nanmean(err[~rej])), 4),
-        "median_err_clean": round(float(np.nanmedian(err[~rej])), 4),
+        "mean_err_clean": round(float(np.nanmean(err[~rej])), 4)
+        if (~rej).any() else None,
+        "median_err_clean": round(float(np.nanmedian(err[~rej])), 4)
+        if (~rej).any() else None,
         "worlds_err_over_1m": int((err > 1.0).sum()),
         "worlds_diverged_50m": int((err_max > 50.0).sum()),
         "max_err": round(float(np.nanmax(err)), 3),

@@ -64,6 +64,23 @@ _SLOW = {
 
 
 def pytest_collection_modifyitems(config, items):
+    import warnings
+
+    seen = set()
     for item in items:
-        if item.originalname in _SLOW or item.name in _SLOW:
+        base = getattr(item, "originalname", None) or item.name
+        if base in _SLOW or item.name in _SLOW:
             item.add_marker(pytest.mark.slow)
+            seen.add(base if base in _SLOW else item.name)
+    # a renamed slow test must not silently rejoin the quick tier: warn
+    # loudly when a _SLOW entry matches nothing. Only meaningful when the
+    # whole suite was collected (single-file runs see a subset).
+    full_run = all(
+        a.rstrip("/").endswith("tests") for a in config.args
+    ) if config.args else True
+    stale = _SLOW - seen
+    if stale and full_run:
+        warnings.warn(pytest.PytestWarning(
+            f"tests/conftest.py _SLOW entries match no test "
+            f"(renamed? now silently in the quick tier): {sorted(stale)}"
+        ))
