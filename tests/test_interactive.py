@@ -110,3 +110,36 @@ def test_async_replan_on_native_scheduler():
     assert np.hypot(est[0], est[1]) > 0.5, (
         f"vehicle never made progress: {est}"
     )
+
+
+def test_async_blocked_replan_holds_once_and_keeps_queue():
+    """A completed-but-blocked async replan (seg=None) must mirror the sync
+    path: ONE (0,0) hold tick, queue preserved, and it must not count as a
+    landed replan (r4 review finding)."""
+    cfg = Config(num_iterations=50).replace(
+        filter="ekf_slam", occ_map_img="blank.jpg",
+        num_landmark_slots=5, num_meas_slots=5,
+    )
+    cfg = cfg.replace(map=cfg.map.__class__(num_landmarks=5))
+    occ, _ = sim_maps.load_occ_map(cfg)
+    gp = GoalPursuit(cfg, occ)
+    gp._cur = [0.0, 0.0, 0.0]
+    assert gp.set_goal((1.5, 1.0))
+    q_before = [list(p) for p in gp.pp.goal_queue]
+    assert q_before, "goal queue should be non-empty after set_goal"
+
+    # inject a completed blocked replan (what the worker thread produces
+    # when the local planner finds no free cell)
+    gp._pending = {"done": True, "seg": None}
+    cmd = gp.on_state(np.zeros(3))
+    assert cmd == (0.0, 0.0), "blocked replan must emit one stop tick"
+    assert [list(p) for p in gp.pp.goal_queue] == q_before, (
+        "blocked replan must NOT discard the still-valid path"
+    )
+    assert gp.async_replans == 0
+    assert gp.async_replans_blocked == 1
+    assert gp._pending is None
+
+    # next tick resumes driving the preserved path
+    cmd2 = gp.on_state(np.zeros(3))
+    assert cmd2 != (0.0, 0.0), "vehicle should resume after the hold tick"
