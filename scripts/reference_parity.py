@@ -141,6 +141,11 @@ def main():
     ap.add_argument("--worlds-cal", type=int, default=256)
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--scale-w", action="store_true")
+    ap.add_argument("--solos-only", action="store_true",
+                    help="calibration + solo filters only (the EKF solo is "
+                    "the cheap discriminator between the W-fixed and "
+                    "W-scaled reconstructions of the reference's unrecorded "
+                    "high-noise profile)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default="docs/reference_parity.json")
     args = ap.parse_args()
@@ -211,7 +216,7 @@ def main():
         save()
         log(f"[{name}] {out['configs'][name]}")
 
-    order = [
+    order = [] if args.solos_only else [
         ("naive", "high", "one_time"), ("ekf_slam", "high", "one_time"),
         ("naive", "high", "iter"), ("ekf_slam", "high", "iter"),
         ("naive", "low", "one_time"), ("ekf_slam", "low", "one_time"),
