@@ -24,9 +24,23 @@ reference runs, where the C++ filters always ran with V=diag(W)=(0.01, 0.01),
 W=I2. --scale-w additionally scales the sensing half-widths (hypothesis B:
 the operator turned BOTH dials); default keeps W at params.yaml values.
 
+--profile picks WHICH process-noise dial the calibration turns:
+  equal: V_00 and V_11 scaled together (hypothesis A). Matches the published
+         naive baseline but leaves the compat EKF at ~2.3-2.6 m — no better
+         than naive — while the reference published 0.93-1.40 m.
+  ang:   V_11 only, V_00 fixed at params.yaml's 0.01 (hypothesis C: the
+         operator set the angular dial equal to the forward one). The
+         scripts/noise_profile_probe.py grid found this reproduces BOTH
+         published high-noise anchors at s_ang=10 (naive 2.28 vs 2.21-2.28;
+         EKF 1.02 vs 0.93-1.40), because angular drift is the component a
+         weak-gain compat filter (assumed W=I2) can still correct from many
+         landmark sightings, while saturated forward noise (V_00*9 ~ d_max,
+         clipped at sim_node.py:218) is nearly unobservable to it. Default.
+
 Usage:
   python scripts/reference_parity.py [--worlds 256] [--worlds-iter 128]
-      [--t 1000] [--scale-w] [--out docs/reference_parity.json]
+      [--t 1000] [--scale-w] [--profile ang|equal]
+      [--out docs/reference_parity.json]
 """
 from __future__ import annotations
 
@@ -63,16 +77,17 @@ NAIVE_TARGET = {
 
 
 def make_compat_cfg(base, v_scale, filter_name, secondary=None,
-                    iterative=None, scale_w=False):
+                    iterative=None, scale_w=False, profile="equal"):
     """Config at scaled sim noise, full compat quirks, reference prior."""
     from live_ekf_slam_tpu.config import CompatConfig
 
     cfg = base.replace(filter=filter_name, compat=CompatConfig.all_on())
     w_scale = v_scale if scale_w else 1.0
+    fwd_scale = 1.0 if profile == "ang" else v_scale
     cfg = cfg.replace(
         process_noise=dataclasses.replace(
             cfg.process_noise,
-            V_00=HIGH_NOISE["V_00"] * v_scale,
+            V_00=HIGH_NOISE["V_00"] * fwd_scale,
             V_11=HIGH_NOISE["V_11"] * v_scale,
         ),
         sensing_noise=dataclasses.replace(
@@ -92,23 +107,28 @@ def make_compat_cfg(base, v_scale, filter_name, secondary=None,
     return cfg
 
 
-def measure_naive(base, v_scale, worlds, scale_w):
-    cfg = make_compat_cfg(base, v_scale, "naive", scale_w=scale_w)
+def measure_naive(base, v_scale, worlds, scale_w, profile="equal"):
+    cfg = make_compat_cfg(base, v_scale, "naive", scale_w=scale_w,
+                          profile=profile)
     res, _ = run_config(cfg, worlds, min(worlds, 512), key_seed=4242,
                         impl="xla")
     return robust_stats(res["err_naive"], res["diverged_naive"])
 
 
-def calibrate(base, regime, worlds, scale_w, tol=0.03, max_iter=4):
+def calibrate(base, regime, worlds, scale_w, tol=0.03, max_iter=4,
+              profile="equal"):
     """Secant search on the V-scale for the published naive baseline.
 
     Error is ~linear in the scale (uniform half-width), so this converges in
     1-2 refinements. Returns (scale, history)."""
     target = NAIVE_TARGET[regime]
-    s = 1.0 if regime == "low" else 8.5  # linear-model initial guesses
+    if regime == "low":
+        s = 1.0
+    else:
+        s = 10.0 if profile == "ang" else 8.5  # linear-model initial guesses
     history = []
     for it in range(max_iter):
-        st = measure_naive(base, s, worlds, scale_w)
+        st = measure_naive(base, s, worlds, scale_w, profile=profile)
         history.append({"scale": round(s, 4), **st})
         log(f"  calibrate[{regime}] s={s:.3f} -> naive {st['mean']} m "
             f"(target {target:.4f})")
@@ -141,6 +161,11 @@ def main():
     ap.add_argument("--worlds-cal", type=int, default=256)
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--scale-w", action="store_true")
+    ap.add_argument("--profile", choices=("equal", "ang"), default="ang",
+                    help="which process-noise dial the high-noise "
+                    "calibration turns (see module docstring); 'ang' is the "
+                    "probe-selected reconstruction that reproduces both "
+                    "published anchors")
     ap.add_argument("--solos-only", action="store_true",
                     help="calibration + solo filters only (the EKF solo is "
                     "the cheap discriminator between the W-fixed and "
@@ -161,16 +186,25 @@ def main():
 
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds, "scale_w": args.scale_w,
-           "calibration": {}, "configs": {}}
+           "profile": args.profile, "calibration": {}, "configs": {}}
     if os.path.exists(args.out) and not args.smoke:
         try:
             with open(args.out) as f:
                 prev = json.load(f)
             if prev.get("t") == args.t and prev.get("worlds") == args.worlds \
-                    and prev.get("scale_w") == args.scale_w:
+                    and prev.get("scale_w") == args.scale_w \
+                    and prev.get("profile", "equal") == args.profile:
                 out["calibration"].update(prev.get("calibration", {}))
                 out["configs"].update(prev.get("configs", {}))
                 log(f"resuming: {sorted(out['configs'])} done")
+            else:
+                # different reconstruction hypothesis: keep the old evidence
+                # under a profile-suffixed name instead of clobbering it
+                old = prev.get("profile", "equal")
+                dst = args.out.replace(".json", f"_{old}.json")
+                if not os.path.exists(dst):
+                    os.rename(args.out, dst)
+                    log(f"moved {old}-profile results to {dst}")
         except Exception as e:
             log(f"resume skipped: {e}")
 
@@ -185,7 +219,8 @@ def main():
             continue
         log(f"[calibrate {regime}] target {NAIVE_TARGET[regime]:.4f} m")
         s, hist = calibrate(base, regime, args.worlds_cal, args.scale_w,
-                            max_iter=2 if args.smoke else 4)
+                            max_iter=2 if args.smoke else 4,
+                            profile=args.profile)
         out["calibration"][regime] = {
             "scale": round(s, 4),
             "target_naive_m": round(NAIVE_TARGET[regime], 4),
@@ -202,7 +237,7 @@ def main():
         if name in out["configs"]:
             continue
         cfg = make_compat_cfg(base, scales[regime], filt,
-                              scale_w=args.scale_w)
+                              scale_w=args.scale_w, profile=args.profile)
         t0 = time.perf_counter()
         log(f"[{name}] {args.worlds} worlds ...")
         res, timing = run_config(cfg, args.worlds, min(args.worlds, 512),
@@ -230,7 +265,7 @@ def main():
         worlds = args.worlds_iter if iterative else args.worlds
         cfg = make_compat_cfg(base, scales[regime], "pose_graph",
                               secondary=secondary, iterative=iterative,
-                              scale_w=args.scale_w)
+                              scale_w=args.scale_w, profile=args.profile)
         t0 = time.perf_counter()
         log(f"[{name}] {worlds} worlds ...")
         impl = "xla" if args.smoke else "streams"
