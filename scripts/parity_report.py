@@ -1,0 +1,189 @@
+"""Render docs/REFERENCE_PARITY.md from the measured parity JSONs.
+
+Inputs (all produced on-chip by scripts/reference_parity.py and
+scripts/noise_profile_probe.py):
+  docs/reference_parity.json        — profile=ang full run (8 PGS + 4 solos)
+  docs/reference_parity_equal.json  — rejected hypothesis A (both V dials)
+  docs/reference_parity_w.json      — rejected hypothesis B (V and W dials)
+  docs/noise_profile_probe.json     — the 64-world discriminator grid
+
+The reference's published numbers are the per-config means of
+/root/reference/ekf_ws/src/base_pkg/data/<config>/*.csv (metric:
+plotting_node.py:195-218, mean distance of the estimated trajectory from
+truth). Its noise profile was never recorded; see reference_parity.py's
+docstring for the reconstruction.
+
+Usage: python scripts/parity_report.py [--out docs/REFERENCE_PARITY.md]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+ROWS = [
+    "naive_high_one_time", "ekf_slam_high_one_time",
+    "naive_high_iter", "ekf_slam_high_iter",
+    "naive_low_one_time", "ekf_slam_low_one_time",
+    "naive_low_iter", "ekf_slam_low_iter",
+]
+
+
+def fmt_pair(ref, st):
+    r = "—" if ref is None else f"{ref:.3f}"
+    if st is None:
+        return f"{r} | (pending)"
+    lo = st["mean"] - st["ci95"]
+    hi = st["mean"] + st["ci95"]
+    inside = ref is not None and lo <= ref <= hi
+    mark = " ✓" if inside else ""
+    return f"{r} | {st['mean']:.3f} ± {st['ci95']:.3f}{mark}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="docs/reference_parity.json")
+    ap.add_argument("--out", default="docs/REFERENCE_PARITY.md")
+    args = ap.parse_args()
+
+    with open(args.json) as f:
+        d = json.load(f)
+    if d.get("profile") != "ang":
+        sys.exit(f"{args.json} is not the ang-profile run")
+
+    cal = d["calibration"]
+    cfgs = d["configs"]
+
+    lines = []
+    w = lines.append
+    w("# Reference-magnitude parity\n")
+    w("Number-for-number comparison against the only quantitative results "
+      "the reference ships: the per-config means of its 8 published run "
+      "directories (`base_pkg/data/<config>/*.csv`, metric defined at "
+      "`plotting_node.py:195-218`). Every repo number below was measured "
+      "on the TPU chip at T=1000 with `CompatConfig.all_on()` (the "
+      "reference's V/W swap, weak (1.3, 1.3, 1.2) prior, and all quirk "
+      "flags) under the reconstructed noise profile.\n")
+
+    w("## The unrecorded noise profile\n")
+    w("The reference's published CSVs were produced at a noise profile that "
+      "was never committed (its `params.yaml` defaults give errors ~10x "
+      "smaller). `scripts/noise_profile_probe.py` grid-searched which dial "
+      "the operator turned, using the two published high-noise anchors "
+      "(naive 2.21–2.28 m, EKF 0.93–1.40 m) as a 2-point discriminator:\n")
+    w("| Hypothesis | naive (target 2.21–2.28) | EKF (target 0.93–1.40) | verdict |")
+    w("|---|---|---|---|")
+    try:
+        with open("docs/reference_parity_equal.json") as f:
+            eq = json.load(f)["configs"]
+        w(f"| A: both V dials ×9.08 | "
+          f"{eq['solo_naive_high']['naive']['mean']:.2f} | "
+          f"{eq['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
+          f"rejected — EKF no better than naive |")
+    except (OSError, KeyError):
+        pass
+    try:
+        with open("docs/reference_parity_w.json") as f:
+            wj = json.load(f)["configs"]
+        w(f"| B: V and W dials ×9.08 | "
+          f"{wj['solo_naive_high']['naive']['mean']:.2f} | "
+          f"{wj['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
+          f"rejected — EKF no better than naive |")
+    except (OSError, KeyError):
+        pass
+    w(f"| **C: angular V dial only ×{cal['high']['scale']:.0f}** | "
+      f"{cfgs['solo_naive_high']['naive']['mean']:.2f} | "
+      f"{cfgs['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
+      f"**reproduces both anchors** |")
+    w("")
+    w("Hypothesis C wins for a structural reason: angular drift is the "
+      "error component a weak-gain compat filter (which assumes W=I₂) can "
+      "still correct from repeated landmark sightings, while scaled forward "
+      "noise saturates against the sim's `d_max` clip "
+      "(`sim_node.py:218`) and is nearly unobservable to it. Scaling both "
+      "dials makes the compat EKF *no better than dead reckoning* — "
+      "incompatible with the published 0.93–1.40 m.\n")
+
+    w("## Calibration\n")
+    w("| Regime | dial | target naive (m) | measured naive (m) |")
+    w("|---|---|---|---|")
+    for reg in ("high", "low"):
+        c = cal[reg]
+        last = c["history"][-1]
+        dial = ("V_11 ×" + f"{c['scale']:g}") if reg == "high" else "none (params.yaml)"
+        w(f"| {reg} | {dial} | {c['target_naive_m']:.3f} | "
+          f"{last['mean']:.3f} ± {last['ci95']:.3f} |")
+    w("")
+
+    w("## Solo filters (context columns)\n")
+    w("| Config | published (m) | repo (m), n=%d |" % d["worlds"])
+    w("|---|---|---|")
+    pub = {"solo_naive_high": "2.209–2.277", "solo_ekf_slam_high": "0.930–1.397",
+           "solo_naive_low": "0.244–0.270", "solo_ekf_slam_low": "0.188–0.267"}
+    for name, span in pub.items():
+        st = cfgs.get(name)
+        if st is None:
+            continue
+        k = [x for x in st if x not in ("wall_s", "timing")][0]
+        w(f"| {name} | {span} | {st[k]['mean']:.3f} ± {st[k]['ci95']:.3f} |")
+    w("")
+
+    w("## The 8 published pose-graph configs\n")
+    w(f"✓ = the published mean lies inside the repo's 95% Monte-Carlo CI "
+      f"(n={d['worlds']} worlds one-time / {d.get('worlds_iter', 128)} "
+      f"iterative vs the reference's ~10 runs per config).\n")
+    w("| Config | ref secondary | repo secondary | ref PGS-init | repo "
+      "PGS-init | ref PGS-result | repo PGS-result |")
+    w("|---|---|---|---|---|---|---|")
+    n_done = 0
+    for name in ROWS:
+        st = cfgs.get(name)
+        ref = st["reference"] if st else None
+        if st is None:
+            w(f"| {name} | (pending) | | | | | |")
+            continue
+        n_done += 1
+        w(f"| {name} | {fmt_pair(ref['secondary'], st['secondary'])} | "
+          f"{fmt_pair(ref['pgs_initial'], st['pgs_initial'])} | "
+          f"{fmt_pair(ref['pgs_result'], st['pgs_result'])} |")
+    w("")
+
+    # residual-gap commentary, computed
+    w("## Reading the table\n")
+    gaps = []
+    for name in ROWS:
+        st = cfgs.get(name)
+        if not st:
+            continue
+        for col in ("secondary", "pgs_initial", "pgs_result"):
+            ref = st["reference"][col]
+            if ref is None:
+                continue
+            m, ci = st[col]["mean"], st[col]["ci95"]
+            rel = (m - ref) / ref
+            gaps.append((name, col, ref, m, ci, rel))
+    within = [g for g in gaps if abs(g[3] - g[2]) <= g[4]]
+    close25 = [g for g in gaps if abs(g[5]) <= 0.25]
+    w(f"Of {len(gaps)} published numbers, {len(within)} fall inside the "
+      f"repo's 95% CI and {len(close25)} are within 25% relative. The "
+      "reference's side of the comparison is a mean over ~10 runs with no "
+      "recorded seed or CI — run-to-run spread of that size is visible in "
+      "its own CSVs (docs/BENCHMARKS.md quotes per-run ranges), so "
+      "CI-containment against a 10-run mean is a strict bar.\n")
+    worst = max(gaps, key=lambda g: abs(g[5])) if gaps else None
+    if worst:
+        w(f"Largest relative gap: `{worst[0]}/{worst[1]}` — published "
+          f"{worst[2]:.3f} vs repo {worst[3]:.3f} ± {worst[4]:.3f} "
+          f"({worst[5]:+.0%}).\n")
+    w("Wall-time note: each one-time PGS config is ~8–9 min on one chip at "
+      "256 worlds; the reference's equivalent is ~10 sequential rospy runs. "
+      "All rows were produced by `scripts/reference_parity.py --profile ang` "
+      "(resume-safe; see `scripts/tpu_queue_r4f.sh`).\n")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out} ({n_done}/8 PGS rows)")
+
+
+if __name__ == "__main__":
+    main()
