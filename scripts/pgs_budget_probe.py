@@ -41,6 +41,11 @@ def main():
                     help="cold-start mode: secondary | chordal")
     ap.add_argument("--solver", default="schur",
                     help="bulk solver: schur | dense (graduated LM)")
+    ap.add_argument("--num-landmarks", type=int, default=None,
+                    help="override MapConfig.num_landmarks (loop-closure "
+                    "richness probe)")
+    ap.add_argument("--range-max", type=float, default=None,
+                    help="override VisionConstraints.range_max")
     ap.add_argument("--out", default="docs/pgs_budget_probe.json")
     args = ap.parse_args()
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -62,6 +67,19 @@ def main():
         cfg = cfg.replace(pose_graph=dataclasses.replace(
             cfg.pose_graph, bulk_gn_iters=gn, bulk_cg_iters=cg,
             init=args.init, solver=args.solver))
+        if args.num_landmarks is not None:
+            cfg = cfg.replace(
+                map=dataclasses.replace(
+                    cfg.map, num_landmarks=args.num_landmarks),
+                num_landmark_slots=args.num_landmarks,
+                num_meas_slots=args.num_landmarks,
+            )
+            out["num_landmarks"] = args.num_landmarks
+        if args.range_max is not None:
+            cfg = cfg.replace(constraints=dataclasses.replace(
+                cfg.constraints, vision=dataclasses.replace(
+                    cfg.constraints.vision, range_max=args.range_max)))
+            out["range_max"] = args.range_max
         t0 = time.perf_counter()
         res, _ = run_config(cfg, args.worlds, args.worlds, key_seed=777,
                             collect="poses", impl="streams")
