@@ -29,6 +29,7 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 _SLOW = {
+    "test_reference_parity_smoke",
     "test_fused_ukf_calibrated_matches_xla",
     "test_streams_path_matches_scan_path_iekf",
     "test_streams_replay_prefix_windows_exact",

@@ -574,3 +574,62 @@ def test_matrix_to_artifacts_script(tmp_path):
     assert abs(np.mean(vals) - ref_mean) < 1e-6
     pngs = sorted(p.name for p in (tmp_path / "plots").iterdir())
     assert len(pngs) == n_pgs and pngs[0].endswith(".png")
+
+
+def test_reference_parity_smoke(tmp_path):
+    """scripts/reference_parity.py --smoke --solos-only: the published-
+    magnitude parity pipeline (calibration secant + compat solo configs,
+    reference_parity.py) runs end-to-end on CPU and emits the structure
+    parity_report.py consumes."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "parity.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "reference_parity.py"),
+         "--smoke", "--solos-only", "--out", str(out)],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    with open(out) as f:
+        d = json.load(f)
+    assert d["profile"] == "ang"
+    assert set(d["calibration"]) == {"high", "low"}
+    for regime in ("high", "low"):
+        assert d["calibration"][regime]["scale"] > 0
+    for name in ("solo_naive_high", "solo_ekf_slam_high",
+                 "solo_naive_low", "solo_ekf_slam_low"):
+        filt = "ekf_slam" if "ekf" in name else "naive"
+        st = d["configs"][name][filt]
+        assert np.isfinite(st["mean"]) and st["n"] > 0, (name, st)
+    # the high-noise profile must actually be hotter than the low one
+    assert d["calibration"]["high"]["scale"] > d["calibration"]["low"]["scale"]
+
+
+def test_parity_report_renders(tmp_path):
+    """scripts/parity_report.py renders the committed on-chip parity JSON
+    into the full markdown report (all 8 PGS rows + the probe tables)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "REFERENCE_PARITY.md"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "parity_report.py"),
+         "--json", os.path.join(repo, "docs", "reference_parity.json"),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    assert "(8/8 PGS rows)" in r.stdout
+    text = out.read_text()
+    for section in ("## The unrecorded noise profile", "## Calibration",
+                    "## The 8 published pose-graph configs",
+                    "## …and what it IS: landmark density"):
+        assert section in text, section
+    # every published config row is present
+    for name in ("naive_high_one_time", "ekf_slam_low_iter"):
+        assert f"| {name} |" in text
