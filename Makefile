@@ -1,7 +1,7 @@
 # Developer entry points. The TPU targets assume the axon tunnel is up;
 # everything else runs on CPU (tests force a virtual 8-device CPU mesh).
 
-.PHONY: test test-quick native bench bench-ukf bench-iekf matrix consistency demo dryrun clean
+.PHONY: test test-quick native bench bench-ukf bench-iekf matrix parity artifacts consistency demo dryrun clean
 
 test:
 	python -m pytest tests/ -q
@@ -23,6 +23,14 @@ bench-iekf:
 
 matrix:         ## full accuracy matrix (TPU; resumes from the output file)
 	python scripts/accuracy_matrix.py --out docs/accuracy_matrix_v2.json
+
+parity:         ## published-magnitude parity vs the reference CSVs (TPU; resume-safe)
+	python scripts/reference_parity.py --out docs/reference_parity.json
+	python scripts/parity_report.py
+
+artifacts:      ## reference-layout data/ + plots/ tree from the v2 matrix (CPU)
+	JAX_PLATFORMS=cpu MPLBACKEND=Agg python scripts/matrix_to_artifacts.py \
+		--matrix docs/accuracy_matrix_v2.json
 
 consistency:    ## NEES comparison EKF vs RI-EKF (CPU-friendly)
 	JAX_PLATFORMS=cpu python scripts/consistency.py
