@@ -39,6 +39,14 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("worlds") == args.worlds and prev.get(
+                "num_landmarks") == args.nl:
+            log(f"{args.out} already has this run; nothing to do")
+            return
+
     from live_ekf_slam_tpu.config import Config
 
     base = Config(num_iterations=args.t)
