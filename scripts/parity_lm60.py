@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--nl", type=int, default=60)
     ap.add_argument("--scale", type=float, default=10.0)
+    ap.add_argument("--secondary", default="naive",
+                    help="secondary filter: naive | ekf_slam")
     ap.add_argument("--out", default="docs/parity_lm60.json")
     args = ap.parse_args()
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -43,31 +45,34 @@ def main():
         with open(args.out) as f:
             prev = json.load(f)
         if prev.get("worlds") == args.worlds and prev.get(
-                "num_landmarks") == args.nl:
+                "num_landmarks") == args.nl and prev.get(
+                "secondary_filter", "naive") == args.secondary:
             log(f"{args.out} already has this run; nothing to do")
             return
 
     from live_ekf_slam_tpu.config import Config
 
     base = Config(num_iterations=args.t)
+    sec = args.secondary
     cfg = make_compat_cfg(base, args.scale, "pose_graph",
-                          secondary="naive", iterative=False, profile="ang")
+                          secondary=sec, iterative=False, profile="ang")
     cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, num_landmarks=args.nl),
         num_landmark_slots=args.nl, num_meas_slots=args.nl)
     t0 = time.perf_counter()
-    log(f"[naive_high_one_time nl={args.nl}] {args.worlds} worlds ...")
+    log(f"[{sec}_high_one_time nl={args.nl}] {args.worlds} worlds ...")
     res, timing = run_config(cfg, args.worlds, args.chunk, key_seed=31337,
                              collect="poses", impl="streams")
     out = {
         "t": args.t, "worlds": args.worlds, "num_landmarks": args.nl,
-        "scale": args.scale, "timing": timing,
-        "secondary": robust_stats(res["err_naive"], res["diverged_naive"]),
+        "scale": args.scale, "secondary_filter": sec, "timing": timing,
+        "secondary": robust_stats(res["err_" + sec],
+                                  res["diverged_" + sec]),
         "pgs_initial": robust_stats(res["err_pose_graph_initial"],
-                                    res["diverged_naive"]),
+                                    res["diverged_" + sec]),
         "pgs_result": robust_stats(res["err_pose_graph_result"],
-                                   res["diverged_naive"]),
-        "reference": REFERENCE["naive_high_one_time"],
+                                   res["diverged_" + sec]),
+        "reference": REFERENCE[f"{sec}_high_one_time"],
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     with open(args.out, "w") as f:
