@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--scale", type=float, default=10.0)
     ap.add_argument("--secondary", default="naive",
                     help="secondary filter: naive | ekf_slam")
+    ap.add_argument("--gn", type=int, default=None,
+                    help="override bulk_gn_iters")
+    ap.add_argument("--cg", type=int, default=None,
+                    help="override bulk_cg_iters")
     ap.add_argument("--out", default="docs/parity_lm60.json")
     args = ap.parse_args()
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -46,7 +50,8 @@ def main():
             prev = json.load(f)
         if prev.get("worlds") == args.worlds and prev.get(
                 "num_landmarks") == args.nl and prev.get(
-                "secondary_filter", "naive") == args.secondary:
+                "secondary_filter", "naive") == args.secondary and \
+                prev.get("gn") == args.gn and prev.get("cg") == args.cg:
             log(f"{args.out} already has this run; nothing to do")
             return
 
@@ -59,13 +64,19 @@ def main():
     cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, num_landmarks=args.nl),
         num_landmark_slots=args.nl, num_meas_slots=args.nl)
+    if args.gn or args.cg:
+        pg = cfg.pose_graph
+        cfg = cfg.replace(pose_graph=dataclasses.replace(
+            pg, bulk_gn_iters=args.gn or pg.bulk_gn_iters,
+            bulk_cg_iters=args.cg or pg.bulk_cg_iters))
     t0 = time.perf_counter()
     log(f"[{sec}_high_one_time nl={args.nl}] {args.worlds} worlds ...")
     res, timing = run_config(cfg, args.worlds, args.chunk, key_seed=31337,
                              collect="poses", impl="streams")
     out = {
         "t": args.t, "worlds": args.worlds, "num_landmarks": args.nl,
-        "scale": args.scale, "secondary_filter": sec, "timing": timing,
+        "scale": args.scale, "secondary_filter": sec,
+        "gn": args.gn, "cg": args.cg, "timing": timing,
         "secondary": robust_stats(res["err_" + sec],
                                   res["diverged_" + sec]),
         "pgs_initial": robust_stats(res["err_pose_graph_initial"],
