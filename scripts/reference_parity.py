@@ -172,6 +172,16 @@ def main():
                     "W-scaled reconstructions of the reference's unrecorded "
                     "high-noise profile)")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--gn", type=int, default=None,
+                    help="override PoseGraphConfig.bulk_gn_iters (the "
+                    "default 50 underconverges at the hot profile; the "
+                    "budget sweep in docs/pgs_budget_probe.json converges "
+                    "by 150)")
+    ap.add_argument("--cg", type=int, default=None,
+                    help="override PoseGraphConfig.bulk_cg_iters")
+    ap.add_argument("--only", default=None,
+                    help="comma list restricting which PGS configs run "
+                    "(e.g. 'naive_high_one_time,ekf_slam_high_iter')")
     ap.add_argument("--out", default="docs/reference_parity.json")
     args = ap.parse_args()
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -186,13 +196,16 @@ def main():
 
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds, "scale_w": args.scale_w,
-           "profile": args.profile, "calibration": {}, "configs": {}}
+           "profile": args.profile, "gn": args.gn, "cg": args.cg,
+           "calibration": {}, "configs": {}}
     if os.path.exists(args.out) and not args.smoke:
         try:
             with open(args.out) as f:
                 prev = json.load(f)
             if prev.get("t") == args.t and prev.get("worlds") == args.worlds \
                     and prev.get("scale_w") == args.scale_w \
+                    and prev.get("gn") == args.gn \
+                    and prev.get("cg") == args.cg \
                     and prev.get("profile", "equal") == args.profile:
                 out["calibration"].update(prev.get("calibration", {}))
                 out["configs"].update(prev.get("configs", {}))
@@ -257,15 +270,21 @@ def main():
         ("naive", "low", "one_time"), ("ekf_slam", "low", "one_time"),
         ("naive", "low", "iter"), ("ekf_slam", "low", "iter"),
     ]
+    only = set(args.only.split(",")) if args.only else None
     for secondary, regime, mode in order:
         name = f"{secondary}_{regime}_{mode}"
-        if name in out["configs"]:
+        if name in out["configs"] or (only is not None and name not in only):
             continue
         iterative = mode == "iter"
         worlds = args.worlds_iter if iterative else args.worlds
         cfg = make_compat_cfg(base, scales[regime], "pose_graph",
                               secondary=secondary, iterative=iterative,
                               scale_w=args.scale_w, profile=args.profile)
+        if args.gn or args.cg:
+            pg = cfg.pose_graph
+            cfg = cfg.replace(pose_graph=dataclasses.replace(
+                pg, bulk_gn_iters=args.gn or pg.bulk_gn_iters,
+                bulk_cg_iters=args.cg or pg.bulk_cg_iters))
         t0 = time.perf_counter()
         log(f"[{name}] {worlds} worlds ...")
         impl = "xla" if args.smoke else "streams"
