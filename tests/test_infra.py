@@ -628,7 +628,7 @@ def test_parity_report_renders(tmp_path):
     text = out.read_text()
     for section in ("## The unrecorded noise profile", "## Calibration",
                     "## The 8 published pose-graph configs",
-                    "## …and what it IS: landmark density"):
+                    "## Remaining-DOF sweep"):
         assert section in text, section
     # every published config row is present
     for name in ("naive_high_one_time", "ekf_slam_low_iter"):
