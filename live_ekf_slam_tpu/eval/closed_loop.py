@@ -92,14 +92,13 @@ def make_block_step(cfg: Config, occ):
     return block
 
 
-def run_closed_loop(
-    cfg: Config,
-    key,
-    batch: int = 1,
-    collect: bool = False,
-    jit: bool = True,
-):
-    """Run the igvc preset end-to-end on device. Returns (metrics, carry, outs)."""
+def build_closed_loop(cfg: Config, jit: bool = True):
+    """Build a reusable batched closed-loop runner.
+
+    Returns ``(fn, occ)`` where ``fn(keys) -> (final_carry, outs)`` for a
+    ``(batch, 2)`` array of PRNG keys. The function is jitted ONCE, so
+    benchmark repetitions and repeated Monte-Carlo calls reuse the compiled
+    executable instead of re-tracing per call."""
     occ_np, _ = sim_maps.load_occ_map(cfg)
     occ = jnp.asarray(occ_np)
     lms, n_active = sim_maps.make_landmarks(cfg)
@@ -129,8 +128,21 @@ def run_closed_loop(
     fn = jax.vmap(one_world)
     if jit:
         fn = jax.jit(fn)
+    return fn, occ
+
+
+def run_closed_loop(
+    cfg: Config,
+    key,
+    batch: int = 1,
+    collect: bool = False,
+    jit: bool = True,
+):
+    """Run the igvc preset end-to-end on device. Returns (metrics, carry, outs)."""
+    fn, _ = build_closed_loop(cfg, jit=jit)
     final, outs = fn(jax.random.split(key, batch))
-    t_total = n_blocks * period
+    period = cfg.path_planning.replan_period
+    t_total = (cfg.num_iterations // period) * period
     metrics = {
         "err_" + cfg.filter: np.asarray(final.err_sum) / t_total,
         "final_true_pose": np.asarray(final.world.pose),

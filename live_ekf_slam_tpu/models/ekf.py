@@ -180,7 +180,10 @@ def _meas_slot_update(cfg: Config, carry, slot, x_committed, w_diag):
     ph_t = (p[:, None, :] * h[None, :, :]).sum(-1)  # (D, 2) == P @ H^T
     ss = dot32(h, ph_t) + jnp.diag(w_diag)  # 2x2 innovation covariance
     det = ss[0, 0] * ss[1, 1] - ss[0, 1] * ss[1, 0]
-    det = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    # Same 1e-20 near-singular-S floor as the Pallas twin (fused_rollout.py)
+    # and the IEKF, so the XLA and kernel paths agree bitwise near singular
+    # innovation covariances instead of diverging on denormal dets.
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
     s_inv = (
         jnp.array([[ss[1, 1], -ss[0, 1]], [-ss[1, 0], ss[0, 0]]], jnp.float32) / det
     )

@@ -64,11 +64,12 @@ def main():
     cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, num_landmarks=args.nl),
         num_landmark_slots=args.nl, num_meas_slots=args.nl)
-    if args.gn or args.cg:
+    if args.gn is not None or args.cg is not None:
         pg = cfg.pose_graph
         cfg = cfg.replace(pose_graph=dataclasses.replace(
-            pg, bulk_gn_iters=args.gn or pg.bulk_gn_iters,
-            bulk_cg_iters=args.cg or pg.bulk_cg_iters))
+            pg,
+            bulk_gn_iters=pg.bulk_gn_iters if args.gn is None else args.gn,
+            bulk_cg_iters=pg.bulk_cg_iters if args.cg is None else args.cg))
     t0 = time.perf_counter()
     log(f"[{sec}_high_one_time nl={args.nl}] {args.worlds} worlds ...")
     res, timing = run_config(cfg, args.worlds, args.chunk, key_seed=31337,

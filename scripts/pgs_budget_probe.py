@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--secondary", default="naive")
     ap.add_argument("--budgets", default="50x40,150x40,150x80,400x80",
                     help="comma list of GNxCG budgets")
+    ap.add_argument("--scale-w", action="store_true",
+                    help="also scale the sensing half-widths by the V scale "
+                    "(hypothesis-D profile; see reference_parity.py)")
     ap.add_argument("--init", default="secondary",
                     help="cold-start mode: secondary | chordal")
     ap.add_argument("--solver", default="schur",
@@ -57,13 +60,14 @@ def main():
 
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds, "scale": args.scale,
+           "scale_w": args.scale_w,
            "secondary": args.secondary, "init": args.init,
            "solver": args.solver, "budgets": {}}
     variants = [tuple(map(int, b.split("x"))) for b in args.budgets.split(",")]
     for gn, cg in variants:
         cfg = make_compat_cfg(base, args.scale, "pose_graph",
                               secondary=args.secondary, iterative=False,
-                              profile="ang")
+                              scale_w=args.scale_w, profile="ang")
         cfg = cfg.replace(pose_graph=dataclasses.replace(
             cfg.pose_graph, bulk_gn_iters=gn, bulk_cg_iters=cg,
             init=args.init, solver=args.solver))

@@ -215,9 +215,14 @@ def main():
                 # under a profile-suffixed name instead of clobbering it
                 old = prev.get("profile", "equal")
                 dst = args.out.replace(".json", f"_{old}.json")
-                if not os.path.exists(dst):
-                    os.rename(args.out, dst)
-                    log(f"moved {old}-profile results to {dst}")
+                # never clobber an earlier archive of the same profile: these
+                # are expensive on-chip measurements, so pick a fresh name
+                n = 2
+                while os.path.exists(dst):
+                    dst = args.out.replace(".json", f"_{old}{n}.json")
+                    n += 1
+                os.rename(args.out, dst)
+                log(f"moved {old}-profile results to {dst}")
         except Exception as e:
             log(f"resume skipped: {e}")
 
@@ -280,11 +285,12 @@ def main():
         cfg = make_compat_cfg(base, scales[regime], "pose_graph",
                               secondary=secondary, iterative=iterative,
                               scale_w=args.scale_w, profile=args.profile)
-        if args.gn or args.cg:
+        if args.gn is not None or args.cg is not None:
             pg = cfg.pose_graph
             cfg = cfg.replace(pose_graph=dataclasses.replace(
-                pg, bulk_gn_iters=args.gn or pg.bulk_gn_iters,
-                bulk_cg_iters=args.cg or pg.bulk_cg_iters))
+                pg,
+                bulk_gn_iters=pg.bulk_gn_iters if args.gn is None else args.gn,
+                bulk_cg_iters=pg.bulk_cg_iters if args.cg is None else args.cg))
         t0 = time.perf_counter()
         log(f"[{name}] {worlds} worlds ...")
         impl = "xla" if args.smoke else "streams"
