@@ -77,12 +77,18 @@ NAIVE_TARGET = {
 
 
 def make_compat_cfg(base, v_scale, filter_name, secondary=None,
-                    iterative=None, scale_w=False, profile="equal"):
-    """Config at scaled sim noise, full compat quirks, reference prior."""
+                    iterative=None, scale_w=False, profile="equal",
+                    w_scale=None):
+    """Config at scaled sim noise, full compat quirks, reference prior.
+
+    ``w_scale`` (when not None) sets the sensing half-width multiplier
+    INDEPENDENTLY of the process scale — the intermediate-W sweep that
+    adjudicates between hypothesis C (W x1) and D (W x v_scale)."""
     from live_ekf_slam_tpu.config import CompatConfig
 
     cfg = base.replace(filter=filter_name, compat=CompatConfig.all_on())
-    w_scale = v_scale if scale_w else 1.0
+    if w_scale is None:
+        w_scale = v_scale if scale_w else 1.0
     fwd_scale = 1.0 if profile == "ang" else v_scale
     cfg = cfg.replace(
         process_noise=dataclasses.replace(
@@ -161,6 +167,12 @@ def main():
     ap.add_argument("--worlds-cal", type=int, default=256)
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--scale-w", action="store_true")
+    ap.add_argument("--w-scale", type=float, default=None,
+                    help="sensing half-width multiplier, independent of the "
+                    "process scale (intermediate-W adjudication sweep "
+                    "between hypothesis C [W x1] and D [W x10]); combine "
+                    "with --only to restrict to the high-noise configs the "
+                    "hypothesis concerns")
     ap.add_argument("--profile", choices=("equal", "ang"), default="ang",
                     help="which process-noise dial the high-noise "
                     "calibration turns (see module docstring); 'ang' is the "
@@ -196,6 +208,7 @@ def main():
 
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds, "scale_w": args.scale_w,
+           "w_scale": args.w_scale,
            "profile": args.profile, "gn": args.gn, "cg": args.cg,
            "calibration": {}, "configs": {}}
     if os.path.exists(args.out) and not args.smoke:
@@ -204,6 +217,7 @@ def main():
                 prev = json.load(f)
             if prev.get("t") == args.t and prev.get("worlds") == args.worlds \
                     and prev.get("scale_w") == args.scale_w \
+                    and prev.get("w_scale") == args.w_scale \
                     and prev.get("gn") == args.gn \
                     and prev.get("cg") == args.cg \
                     and prev.get("profile", "equal") == args.profile:
@@ -255,7 +269,8 @@ def main():
         if name in out["configs"]:
             continue
         cfg = make_compat_cfg(base, scales[regime], filt,
-                              scale_w=args.scale_w, profile=args.profile)
+                              scale_w=args.scale_w, profile=args.profile,
+                              w_scale=args.w_scale)
         t0 = time.perf_counter()
         log(f"[{name}] {args.worlds} worlds ...")
         res, timing = run_config(cfg, args.worlds, min(args.worlds, 512),
@@ -284,7 +299,8 @@ def main():
         worlds = args.worlds_iter if iterative else args.worlds
         cfg = make_compat_cfg(base, scales[regime], "pose_graph",
                               secondary=secondary, iterative=iterative,
-                              scale_w=args.scale_w, profile=args.profile)
+                              scale_w=args.scale_w, profile=args.profile,
+                              w_scale=args.w_scale)
         if args.gn is not None or args.cg is not None:
             pg = cfg.pose_graph
             cfg = cfg.replace(pose_graph=dataclasses.replace(

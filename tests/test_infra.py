@@ -628,8 +628,13 @@ def test_parity_report_renders(tmp_path):
     text = out.read_text()
     for section in ("## The unrecorded noise profile", "## Calibration",
                     "## The 8 published pose-graph configs",
-                    "## Remaining-DOF sweep"):
+                    "## Scorecard: every published number, C vs D",
+                    "## What remains unexplained",
+                    "Remaining-DOF sweep"):
         assert section in text, section
-    # every published config row is present
-    for name in ("naive_high_one_time", "ekf_slam_low_iter"):
-        assert f"| {name} |" in text
+    # the adjudication totals line is computed from the committed JSONs
+    assert "Totals — C:" in text and "D:" in text
+    # every published config row is present (low rows carry the
+    # shared-with-C dagger)
+    for row in ("| naive_high_one_time |", "| ekf_slam_low_iter† |"):
+        assert row in text, row
