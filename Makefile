@@ -28,9 +28,13 @@ parity:         ## published-magnitude parity vs the reference CSVs (TPU; resume
 	python scripts/reference_parity.py --out docs/reference_parity.json
 	python scripts/parity_report.py
 
-artifacts:      ## reference-layout data/ + plots/ tree from the v2 matrix (CPU)
+artifacts:      ## reference-layout data/ + plots/ trees (calibrated + honest; CPU)
 	JAX_PLATFORMS=cpu MPLBACKEND=Agg python scripts/matrix_to_artifacts.py \
-		--matrix docs/accuracy_matrix_v2.json
+		--matrix docs/reference_parity.json docs/reference_parity_d.json
+	JAX_PLATFORMS=cpu MPLBACKEND=Agg python scripts/matrix_to_artifacts.py \
+		--matrix docs/accuracy_matrix_v2.json \
+		--data-dir data/honest_mode \
+		--plots-dir plots/err_comparisons_honest_mode
 
 consistency:    ## NEES comparison EKF vs RI-EKF (CPU-friendly)
 	JAX_PLATFORMS=cpu python scripts/consistency.py

@@ -100,24 +100,48 @@ def closed_loop_bench(batch, t_total, reps, force_cpu):
     pursuit, fully on device (the reference's headline igvc demo,
     igvc1.launch:2-5 + goal_pursuit_node.py:23-56). Reports steps/s/world
     and the device-A* cost per replan block separately."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from live_ekf_slam_tpu.config import preset
-    from live_ekf_slam_tpu.eval.closed_loop import build_closed_loop
+    from live_ekf_slam_tpu.eval.closed_loop import build_closed_loop_segmented
     from live_ekf_slam_tpu.planning import astar as d_astar
+    from live_ekf_slam_tpu.sim import maps as sim_maps
 
     cfg = preset("igvc1", num_iterations=t_total)
     # 37 igvc barrels (sim_node.py:190); 16 measurement slots cover the
-    # barrels simultaneously visible inside the 3 m / ±90° sensing cone
-    cfg = cfg.replace(num_landmark_slots=37, num_meas_slots=16)
+    # barrels simultaneously visible inside the 3 m / ±90° sensing cone.
+    # A* bounds sized for the 1.8 m local plans the igvc loop actually
+    # issues (~18 cells; 128 relaxation sweeps is generous) instead of the
+    # whole-map default.
+    cfg = cfg.replace(
+        num_landmark_slots=37, num_meas_slots=16,
+        path_planning=dataclasses.replace(
+            cfg.path_planning, astar_max_iters=128,
+            local_astar_max_iters=64, path_capacity=128),
+    )
     period = cfg.path_planning.replan_period
-    fn, occ = build_closed_loop(cfg)
+    # segment the rollout so no single device call outlives the TPU
+    # tunnel's ~60 s watchdog (a 1024-world single-call T=1000 run crashed
+    # the worker; see closed_loop.build_closed_loop_segmented)
+    seg_blocks = int(os.environ.get("BENCH_CL_SEG", "20"))
+    init_fn, seg_fn, n_blocks = build_closed_loop_segmented(cfg)
+    occ_np, _ = sim_maps.load_occ_map(cfg)
+    occ = jnp.asarray(occ_np)
     keys = jax.random.split(jax.random.PRNGKey(7), batch)
 
-    def run(_seed):
-        final, _ = fn(keys)
-        return np.asarray(final.err_sum)
+    def run(seed):
+        carry = init_fn(jax.random.split(jax.random.PRNGKey(seed), batch))
+        world_keys = jax.vmap(
+            lambda k: jax.random.split(k, n_blocks * period).reshape(
+                n_blocks, period, 2)
+        )(keys)  # (B, n_blocks, period, 2)
+        world_keys = jnp.swapaxes(world_keys, 0, 1)
+        for i in range(0, n_blocks, seg_blocks):
+            carry = seg_fn(carry, world_keys[i: i + seg_blocks])
+        return np.asarray(carry.err_sum)
 
     rep_times = []
     for attempt in range(3):

@@ -131,6 +131,52 @@ def build_closed_loop(cfg: Config, jit: bool = True):
     return fn, occ
 
 
+def build_closed_loop_segmented(cfg: Config):
+    """Segmented variant for long on-chip runs: the full igvc rollout
+    (num_iterations/replan_period blocks, each a device A* relaxation plus
+    `replan_period` sim+filter+control ticks) is far too much work for one
+    device call through the TPU tunnel's ~60 s watchdog (observed: worker
+    crash at 1024 worlds x T=1000). Returns ``(init_fn, seg_fn, n_blocks)``
+    where ``init_fn(keys)->carry`` builds the batched carry and
+    ``seg_fn(carry, seg_keys)->carry`` advances ``seg_keys.shape[0]``
+    blocks; the host loop sizes each call well under the watchdog."""
+    occ_np, _ = sim_maps.load_occ_map(cfg)
+    occ = jnp.asarray(occ_np)
+    lms, n_active = sim_maps.make_landmarks(cfg)
+    lms = jnp.asarray(lms)
+
+    period = cfg.path_planning.replan_period
+    n_blocks = cfg.num_iterations // period
+    block = make_block_step(cfg, occ)
+
+    @jax.jit
+    def init_fn(keys):
+        def one(key):
+            world = init_world(cfg, lms, n_active)
+            filt = _runner._filter_init(cfg, cfg.filter)
+            return ClosedLoopCarry(
+                world=world,
+                filt=filt,
+                pursuit=pp.init(cfg),
+                cmd=jnp.zeros(2, jnp.float32),
+                err_sum=jnp.float32(0.0),
+                timestep=jnp.int32(0),
+            )
+        return jax.vmap(one)(keys)
+
+    @jax.jit
+    def seg_fn(carry, seg_keys):
+        # seg_keys: (n_seg_blocks, batch, period, 2)
+        def batched_block(c, keys_t):
+            c, _ = jax.vmap(block)(c, keys_t)
+            return c, None
+
+        carry, _ = jax.lax.scan(batched_block, carry, seg_keys)
+        return carry
+
+    return init_fn, seg_fn, n_blocks
+
+
 def run_closed_loop(
     cfg: Config,
     key,

@@ -45,7 +45,10 @@ def synth_runs(stats: dict, n: int, rng) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--matrix", default="docs/accuracy_matrix.json")
+    ap.add_argument("--matrix", nargs="+", default=["docs/accuracy_matrix.json"],
+                    help="one or more parity/matrix JSONs; later files "
+                    "override same-named configs (e.g. C for the low rows, "
+                    "then D for the adopted high rows)")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--plots-dir", default="plots/err_comparisons")
     ap.add_argument("--runs", type=int, default=10)
@@ -53,8 +56,11 @@ def main():
 
     from live_ekf_slam_tpu.eval.recorder import make_all_bar_charts, write_run_csvs
 
-    with open(args.matrix) as f:
-        mat = json.load(f)
+    mat = {"configs": {}}
+    for path in args.matrix:
+        with open(path) as f:
+            part = json.load(f)
+        mat["configs"].update(part["configs"])
 
     rng = np.random.default_rng(0)
     made = []
@@ -70,6 +76,13 @@ def main():
         ref_sec = "ekf" if secondary == "ekf_slam" else secondary
         run = f"{ref_sec}_{noiselvl}_noise_{mode}"
         run_dir = os.path.join(args.data_dir, run)
+        # regeneration must not stack rows onto a previous tree:
+        # write_run_csvs appends (the reference's plotting-node semantics),
+        # so clear this converter's own outputs first
+        if os.path.isdir(run_dir):
+            for f in os.listdir(run_dir):
+                if f.endswith(".csv"):
+                    os.remove(os.path.join(run_dir, f))
         errors = {ref_sec: synth_runs(cfg["secondary"], args.runs, rng)}
         if "pgs_initial" in cfg:
             errors["pose_graph_init"] = synth_runs(

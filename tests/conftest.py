@@ -60,6 +60,8 @@ _SLOW = {
     "test_single_step_parity_tight",
     "test_fused_rollout_matches_oracle_with_replayed_noise",
     "test_igvc_closed_loop_progresses",
+    "test_igvc_closed_loop_scale",
+    "test_ukf_slam_long_horizon_parity",
     "test_monte_carlo_orderings",
 }
 
