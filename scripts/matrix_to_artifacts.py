@@ -38,9 +38,13 @@ def synth_runs(stats: dict, n: int, rng) -> np.ndarray:
     mean pinned to the measured mean."""
     n_w = max(int(stats.get("n", 1)), 1)
     sig_w = stats["ci95"] / 1.96 * np.sqrt(n_w)
-    draws = rng.normal(stats["mean"], sig_w, size=n)
-    draws += stats["mean"] - draws.mean()  # pin the mean exactly
-    return np.clip(draws, 0.0, None)
+    draws = np.clip(rng.normal(stats["mean"], sig_w, size=n), 0.0, None)
+    # pin the sample mean by scaling AFTER the non-negativity clip (an
+    # additive pin before clipping drifts the mean up whenever sigma is
+    # large enough to clip draws, e.g. the high-noise pgs_result configs)
+    if draws.mean() > 0:
+        draws *= stats["mean"] / draws.mean()
+    return draws
 
 
 def main():

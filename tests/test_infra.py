@@ -576,6 +576,56 @@ def test_matrix_to_artifacts_script(tmp_path):
     assert len(pngs) == n_pgs and pngs[0].endswith(".png")
 
 
+def test_committed_artifact_trees_match_their_stats():
+    """The committed data/ trees must track their source JSONs: data/<run>/
+    is the calibrated compat tree (adopted profile D high rows +
+    shared-with-C low rows) and data/honest_mode/<run>/ the params-default
+    matrix — so same-named files stay number-comparable with the
+    reference's published CSVs (VERDICT r4 #3; base_pkg/data layout,
+    make_bar_graphs.py:57-79)."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load_cfgs(*paths):
+        merged = {}
+        for p in paths:
+            with open(os.path.join(repo, "docs", p)) as f:
+                merged.update(json.load(f)["configs"])
+        return merged
+
+    def check_tree(data_dir, cfgs):
+        for name, cfg in cfgs.items():
+            if name.startswith("solo_"):
+                continue
+            mode = "iter" if name.endswith("_iter") else "one_time"
+            sec_noise = name[: -(len(mode) + 1)]
+            secondary, noiselvl = sec_noise.rsplit("_", 1)
+            ref_sec = "ekf" if secondary == "ekf_slam" else secondary
+            run_dir = os.path.join(
+                repo, data_dir, f"{ref_sec}_{noiselvl}_noise_{mode}")
+            assert os.path.isdir(run_dir), run_dir
+            for csv, col in ((f"{ref_sec}.csv", "secondary"),
+                             ("pose_graph_result.csv", "pgs_result")):
+                vals = np.loadtxt(os.path.join(run_dir, csv))
+                assert abs(vals.mean() - cfg[col]["mean"]) < 1e-6, (
+                    run_dir, csv, vals.mean(), cfg[col]["mean"])
+
+    check_tree("data", load_cfgs("reference_parity.json",
+                                 "reference_parity_d.json"))
+    check_tree(os.path.join("data", "honest_mode"),
+               load_cfgs("accuracy_matrix_v2.json"))
+    # magnitude parity of the calibrated tree with the reference's own
+    # published mean (ekf_high_noise_iter: published 1.397, adopted-profile
+    # repo ~1.32 — same regime, vs honest mode's ~0.12)
+    cal = np.loadtxt(os.path.join(
+        repo, "data", "ekf_high_noise_iter", "ekf.csv")).mean()
+    honest = np.loadtxt(os.path.join(
+        repo, "data", "honest_mode", "ekf_high_noise_iter", "ekf.csv")).mean()
+    assert 0.9 < cal < 1.8, cal
+    assert honest < 0.3, honest
+
+
 def test_reference_parity_smoke(tmp_path):
     """scripts/reference_parity.py --smoke --solos-only: the published-
     magnitude parity pipeline (calibration secant + compat solo configs,
