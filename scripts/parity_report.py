@@ -332,6 +332,55 @@ def main():
           "repo's seeded-node-values initial.\n")
     w(f"Totals — C: {summarize(c_score)}. D: {summarize(d_score)}.\n")
 
+    # ---- W-dial family sweep (r5): C and D are the endpoints of a
+    # one-parameter family; the intermediate scales show whether ANY single
+    # profile can satisfy all the high-noise columns at once.
+    family = [("1 (C)", c_cfgs), ]
+    for wname, path in (("3", "reference_parity_w3x.json"),
+                        ("5", "reference_parity_w5x.json")):
+        fj = load_json(os.path.join(base_dir, path))
+        if fj:
+            family.append((wname, fj["configs"]))
+    if d_data:
+        family.append(("10 (D)", d_data["configs"]))
+    if len(family) > 2:
+        w("### The W-dial family: is there a single profile at all?\n")
+        w("C (W ×1) and D (W ×10) are endpoints of a one-parameter family; "
+          "`--w-scale` traces the interior (W ×3 at 128/64 worlds, W ×5 at "
+          "128/64 worlds, on-chip). Every high-noise published statistic "
+          "against the family:\n")
+        w("| Statistic | published | " +
+          " | ".join(f"W ×{n}" for n, _ in family) + " |")
+        w("|---|---|" + "---|" * len(family))
+        high_rows = [r for r in ROWS if "_high_" in r]
+        for name in high_rows:
+            for col in COLS:
+                pub = pub_lookup(stats, name, col)
+                if pub is None or col == "pgs_initial":
+                    continue
+                cells = []
+                for _, cfgs_f in family:
+                    st = cfgs_f.get(name)
+                    if st is None or col not in st:
+                        cells.append("—")
+                        continue
+                    m, ci = st[col]["mean"], st[col]["ci95"]
+                    comb = math.sqrt(pub["ci95"] ** 2 + ci ** 2)
+                    mark = " ✓" if abs(m - pub["mean"]) <= comb else ""
+                    cells.append(f"{m:.3f}{mark}")
+                w(f"| {name}/{col} | {pub['mean']:.3f} ± "
+                  f"{pub['ci95']:.3f} | " + " | ".join(cells) + " |")
+        w("")
+        w("High-noise-only scorecards (the 10 numbers above + the 2 "
+          "one-time pgs_initial columns):\n")
+        w("| Profile | high-noise scorecard |")
+        w("|---|---|")
+        for wname, cfgs_f in family:
+            hs = [r for r in scorecard(cfgs_f, stats)
+                  if "_high_" in r["name"]]
+            w(f"| W ×{wname} | {summarize(hs)} |")
+        w("")
+
     conv = load_json(os.path.join(base_dir, "pgs_convergence_d.json"))
     if conv:
         w("## The naive-secondary residual: a solver-convergence DOF\n")
