@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--scale-w", action="store_true",
                     help="also scale the sensing half-widths by the V scale "
                     "(hypothesis-D profile; see reference_parity.py)")
+    ap.add_argument("--w-scale", type=float, default=None,
+                    help="sensing half-width multiplier independent of the "
+                    "V scale (interior W-family points, e.g. 3 or 5) — the "
+                    "reachability check needs each member's CONVERGED "
+                    "optimum, not just the default-budget value")
     ap.add_argument("--init", default="secondary",
                     help="cold-start mode: secondary | chordal")
     ap.add_argument("--solver", default="schur",
@@ -60,14 +65,15 @@ def main():
 
     base = Config(num_iterations=args.t)
     out = {"t": args.t, "worlds": args.worlds, "scale": args.scale,
-           "scale_w": args.scale_w,
+           "scale_w": args.scale_w, "w_scale": args.w_scale,
            "secondary": args.secondary, "init": args.init,
            "solver": args.solver, "budgets": {}}
     variants = [tuple(map(int, b.split("x"))) for b in args.budgets.split(",")]
     for gn, cg in variants:
         cfg = make_compat_cfg(base, args.scale, "pose_graph",
                               secondary=args.secondary, iterative=False,
-                              scale_w=args.scale_w, profile="ang")
+                              scale_w=args.scale_w, profile="ang",
+                              w_scale=args.w_scale)
         cfg = cfg.replace(pose_graph=dataclasses.replace(
             cfg.pose_graph, bulk_gn_iters=gn, bulk_cg_iters=cg,
             init=args.init, solver=args.solver))
