@@ -83,3 +83,52 @@ def test_igvc_closed_loop_scale():
     dist = np.linalg.norm(final_pose[:, :2] - np.array([0.0, -8.5]), axis=1)
     assert np.median(dist) > 1.0, np.sort(dist)[:8]
     assert (dist > 0.3).all(), np.sort(dist)[:8]
+
+
+def test_igvc_closed_loop_sharded_bitwise():
+    """The segmented closed loop under world-batch sharding on the 8-device
+    mesh must be bitwise identical to the single-placement run: every array
+    in the carry (incl. the A* replanned paths inside PursuitState) is
+    batched on the leading world axis with no cross-world coupling, so the
+    mesh partitioning may not change a single bit (same guarantee the fused
+    rollout's sharded test makes; SURVEY.md §2.5's metric all-reduce is the
+    only collective in the framework)."""
+    from live_ekf_slam_tpu.parallel.mesh import make_mesh, shard_batch
+
+    batch, t_total = 16, 40
+    cfg = preset("igvc1", num_iterations=t_total)
+    cfg = cfg.replace(
+        num_landmark_slots=37,
+        num_meas_slots=12,
+        path_planning=dataclasses.replace(
+            cfg.path_planning,
+            astar_max_iters=96,
+            local_astar_max_iters=48,
+            path_capacity=128,
+        ),
+    )
+    period = cfg.path_planning.replan_period
+    init_fn, seg_fn, n_blocks = build_closed_loop_segmented(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(11), batch)
+    world_keys = jnp.swapaxes(
+        jax.vmap(
+            lambda k: jax.random.split(k, n_blocks * period).reshape(
+                n_blocks, period, 2
+            )
+        )(keys),
+        0, 1,
+    )
+
+    plain = seg_fn(init_fn(keys), world_keys)
+
+    mesh = make_mesh(8)
+    carry_sh = shard_batch(init_fn(keys), mesh)
+    # seg_keys carry the batch on axis 1; shard that axis to match the carry
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    keys_sh = jax.device_put(
+        world_keys, NamedSharding(mesh, P(None, "worlds")))
+    sharded = seg_fn(carry_sh, keys_sh)
+
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(sharded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
