@@ -61,6 +61,7 @@ _SLOW = {
     "test_fused_rollout_matches_oracle_with_replayed_noise",
     "test_igvc_closed_loop_progresses",
     "test_igvc_closed_loop_scale",
+    "test_igvc_closed_loop_sharded_bitwise",
     "test_ukf_slam_long_horizon_parity",
     "test_monte_carlo_orderings",
 }
