@@ -30,7 +30,7 @@ parity:         ## published-magnitude parity vs the reference CSVs (TPU; resume
 
 artifacts:      ## reference-layout data/ + plots/ trees (calibrated + honest; CPU)
 	JAX_PLATFORMS=cpu MPLBACKEND=Agg python scripts/matrix_to_artifacts.py \
-		--matrix docs/reference_parity.json docs/reference_parity_d.json
+		--matrix docs/reference_parity.json docs/reference_parity_w5x.json
 	JAX_PLATFORMS=cpu MPLBACKEND=Agg python scripts/matrix_to_artifacts.py \
 		--matrix docs/accuracy_matrix_v2.json \
 		--data-dir data/honest_mode \

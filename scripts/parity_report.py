@@ -152,6 +152,46 @@ def main():
     c_score = scorecard(c_cfgs, stats)
     d_score = scorecard(d_cfgs, stats)
 
+    # ---- The W-dial family: C (W ×1) and D (W ×10) are endpoints of a
+    # one-parameter family; the interior points (w3x/w5x sweeps) complete
+    # it. The ADOPTED reconstruction is the member that best fits all 20
+    # scoreable published numbers; every headline section below renders
+    # relative to it. Low-noise rows are W ×1 for every member (a hidden
+    # low-noise W dial is excluded by measurement: W ×10 at low noise
+    # drives the compat EKF solo to ~0.94 m vs the published 0.19–0.27),
+    # so C's low rows are shared by construction, not copied.
+    family = [("1 (C)", c_cfgs, c_data)]
+    for wname, path in (("3", "reference_parity_w3x.json"),
+                        ("5", "reference_parity_w5x.json")):
+        fj = load_json(os.path.join(base_dir, path))
+        if fj:
+            cfgs_f = dict(fj["configs"])
+            for nm in LOW_ROWS:
+                if nm not in cfgs_f and nm in c_cfgs:
+                    cfgs_f[nm] = {**c_cfgs[nm], "shared_with_c": True}
+            family.append((wname, cfgs_f, fj))
+    if d_data:
+        family.append(("10 (D)", d_cfgs, d_data))
+    scores = {n: scorecard(cf, stats) for n, cf, _ in family}
+
+    def rank(sc):
+        if not sc:
+            return (-1, -1, -9)
+        ins = sum(r["inside"] for r in sc)
+        close = sum(abs(r["rel"]) <= 0.25 for r in sc)
+        med = sorted(abs(r["rel"]) for r in sc)[len(sc) // 2]
+        return (ins, close, -med)
+
+    # Only members with the full high-noise sweep are adoption candidates.
+    full = [f for f in family if len(scores[f[0]]) >= len(scores["1 (C)"])]
+    adopted_name, adopted_cfgs, adopted_data = max(
+        full, key=lambda f: rank(scores[f[0]]))
+    adopted_score = scores[adopted_name]
+    a_w = adopted_name.split()[0]          # "1" | "3" | "5" | "10"
+    a_short = {"1 (C)": "hypothesis C (V_11 ×10, W ×1)",
+               "10 (D)": "hypothesis D (V_11 ×10, W ×10)"}.get(
+        adopted_name, f"V_11 ×10, W ×{a_w}")
+
     lines = []
     w = lines.append
     w("# Reference-magnitude parity\n")
@@ -162,15 +202,16 @@ def main():
       "on the TPU chip at T=1000 with `CompatConfig.all_on()` (the "
       "reference's V/W swap, weak (1.3, 1.3, 1.2) prior, and all quirk "
       "flags) under the reconstructed noise profile.\n")
-    if d_data:
-        w("**Adopted reconstruction: hypothesis D** — the operator scaled "
-          "the angular process dial AND both sensing dials by 10 (typed the "
-          "round numbers V=(0.01, 0.01), W=(0.1, 0.1)). It is the best "
-          "joint fit to all 22 published numbers (scorecard below); its "
-          "residuals are the naive-secondary pose-graph results, which the "
-          "convergence-path probe shows are consistent with the reference's "
-          "LM stopping earlier from the poor naive initial than this "
-          "repo's solver does (see 'What remains unexplained').\n")
+    if len(family) > 1:
+        w(f"**Adopted reconstruction: {a_short}** — the operator scaled "
+          "the angular process dial ×10 and both sensing half-width dials "
+          f"×{a_w}. It is the best joint fit to all 20 scoreable published "
+          f"numbers ({summarize(adopted_score)}; full family adjudication "
+          "below). Its residuals concentrate in the naive-secondary "
+          "pose-graph results, which the convergence-path probes show are "
+          "consistent with the reference's LM stopping earlier from the "
+          "poor naive initial than this repo's solver does (see 'What "
+          "remains unexplained').\n")
 
     w("## The unrecorded noise profile\n")
     w("The reference's published CSVs were produced at a noise profile that "
@@ -193,15 +234,26 @@ def main():
           f"{wj['configs']['solo_naive_high']['naive']['mean']:.2f} | "
           f"{wj['configs']['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
           f"rejected — EKF no better than naive |")
-    w(f"| C: angular V dial only ×{cal['high']['scale']:.0f} | "
-      f"{c_cfgs['solo_naive_high']['naive']['mean']:.2f} | "
-      f"{c_cfgs['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
-      f"passes both anchors |")
+    def anchor_row(label, cfgs_f, bold):
+        if ("solo_naive_high" not in cfgs_f
+                or "solo_ekf_slam_high" not in cfgs_f):
+            return
+        b = "**" if bold else ""
+        w(f"| {b}{label}{b} | "
+          f"{cfgs_f['solo_naive_high']['naive']['mean']:.2f} | "
+          f"{cfgs_f['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
+          f"{b}passes both anchors{b} |")
+
+    anchor_row(f"C: angular V dial only ×{cal['high']['scale']:.0f}",
+               c_cfgs, adopted_name == "1 (C)")
+    for wname, cfgs_f, _ in family:
+        if wname in ("1 (C)", "10 (D)"):
+            continue
+        anchor_row(f"V_11 ×10 and W ×{wname}", cfgs_f,
+                   adopted_name == wname)
     if d_data:
-        w(f"| **D: V_11 ×10 and W ×10** | "
-          f"{d_cfgs['solo_naive_high']['naive']['mean']:.2f} | "
-          f"{d_cfgs['solo_ekf_slam_high']['ekf_slam']['mean']:.2f} | "
-          f"**passes both anchors** |")
+        anchor_row("D: V_11 ×10 and W ×10", d_cfgs,
+                   adopted_name == "10 (D)")
     w("")
     w("A and B fail structurally: scaling the forward dial saturates "
       "against the sim's `d_max` clip (`sim_node.py:218`) and leaves the "
@@ -211,22 +263,27 @@ def main():
       "ignores the true W by the V/W-overwrite quirk), so the anchors "
       "cannot separate them — but the pose-graph columns can, because "
       "through that same quirk (filter.h:110-117) the graph's between-"
-      "factor sigmas ARE the sensing covariances: under D the "
-      "between-factors loosen 0.01→0.1 while bearing-range factors stay at "
-      "(1, 1), a 100× relative reweighting toward landmarks. Scored "
-      "against ALL 22 published numbers (combined 95% CI = published "
-      "10-run CI ⊕ repo Monte-Carlo CI):\n")
+      "factor sigmas ARE the sensing half-widths: scaling W loosens the "
+      "between-factors (0.01→0.1 at W ×10) while bearing-range factors "
+      "stay at (1, 1) — a relative reweighting toward landmarks that the "
+      "W-dial family sweep below traces point by point. Scored against "
+      "ALL 22 published numbers (combined 95% CI = published 10-run CI ⊕ "
+      "repo Monte-Carlo CI):\n")
     w("| Hypothesis | all-22 scorecard |")
     w("|---|---|")
-    w(f"| C: V_11 ×10, W ×1 | {summarize(c_score)} |")
-    if d_score:
-        w(f"| **D: V_11 ×10, W ×10 (adopted)** | **{summarize(d_score)}** |")
+    for wname, _, _ in family:
+        label = {"1 (C)": "C: V_11 ×10, W ×1",
+                 "10 (D)": "D: V_11 ×10, W ×10"}.get(
+            wname, f"V_11 ×10, W ×{wname}")
+        b = "**" if wname == adopted_name else ""
+        ad = " (adopted)" if wname == adopted_name else ""
+        w(f"| {b}{label}{ad}{b} | {b}{summarize(scores[wname])}{b} |")
     w("")
 
     w("## Calibration\n")
     w("The scalar noise scale is calibrated per regime against the "
       "published naive baseline (dead reckoning is W-blind, so the "
-      "calibration holds for C and D alike):\n")
+      "calibration holds across the whole W family):\n")
     w("| Regime | dial | target naive (m) | measured naive (m) |")
     w("|---|---|---|---|")
     for reg in ("high", "low"):
@@ -239,35 +296,71 @@ def main():
     w("")
 
     w("## Solo filters (context columns)\n")
-    w("| Config | published (m) | C (m), n=%d | D (m), n=%d |"
-      % (c_data["worlds"], (d_data or c_data)["worlds"]))
-    w("|---|---|---|---|")
+    solo_members = [(n, cf, dt) for n, cf, dt in family
+                    if "solo_naive_high" in cf]
+    w("| Config | published (m) | " + " | ".join(
+        f"W ×{n} (m), n={dt['worlds']}" for n, _, dt in solo_members) + " |")
+    w("|---|---|" + "---|" * len(solo_members))
     pub_span = {"solo_naive_high": "2.209–2.277",
                 "solo_ekf_slam_high": "0.930–1.397",
                 "solo_naive_low": "0.244–0.270",
                 "solo_ekf_slam_low": "0.188–0.267"}
+    low_w_evidence = []
     for name, span in pub_span.items():
         cst = c_cfgs.get(name)
         if cst is None:
             continue
         k = [x for x in cst if x not in ("wall_s", "timing")][0]
-        dst = d_cfgs.get(name)
-        dtxt = (f"{dst[k]['mean']:.3f} ± {dst[k]['ci95']:.3f}"
-                if dst else "—")
-        w(f"| {name} | {span} | {cst[k]['mean']:.3f} ± "
-          f"{cst[k]['ci95']:.3f} | {dtxt} |")
+        cells = []
+        for wname, cfgs_f, _ in solo_members:
+            st = cfgs_f.get(name)
+            if st is None:
+                cells.append("—")
+                continue
+            # Interior members (independent --w-scale) also ran the LOW
+            # solos with the W dial applied — a counterfactual that is the
+            # exclusion evidence for a hidden low-noise W dial, NOT the
+            # member's low-noise prediction (low = all dials ×1, shared
+            # with C). Show the shared value; collect the counterfactual.
+            if "_low" in name and wname not in ("1 (C)", "10 (D)"):
+                if name == "solo_ekf_slam_low" and \
+                        abs(st[k]["mean"] - cst[k]["mean"]) > 1e-12:
+                    low_w_evidence.append(
+                        f"W ×{wname}: {st[k]['mean']:.3f} ± "
+                        f"{st[k]['ci95']:.3f}")
+                cells.append(f"{cst[k]['mean']:.3f} ± "
+                             f"{cst[k]['ci95']:.3f} †")
+                continue
+            cells.append(f"{st[k]['mean']:.3f} ± {st[k]['ci95']:.3f}")
+        w(f"| {name} | {span} | " + " | ".join(cells) + " |")
     w("")
-    w("The low-noise solos are identical under C and D: the calibrated low "
-      "scale is 1.0, so both dials sit at their params.yaml values.\n")
+    w("The low-noise solos are one shared set across the family (†): the "
+      "calibrated low scale is ~1 and the W dial is ×1 at low noise for "
+      "every member, so all dials sit at their params.yaml values."
+      + (" A hidden low-noise W dial is excluded by measurement — "
+         "applying it drives the compat EKF solo out of the published "
+         "band (" + "; ".join(low_w_evidence) + " vs published "
+         "0.188–0.267), on top of the W ×10 exclusion (0.94 m)."
+         if low_w_evidence else "") + "\n")
 
-    headline_cfgs = d_cfgs if d_data else c_cfgs
-    w("## The 8 published pose-graph configs (adopted profile%s)\n"
-      % (": D" if d_data else ": C"))
+    headline_cfgs = adopted_cfgs
+    a_shared = any(st.get("shared_with_c") for st in adopted_cfgs.values())
+    a_high = next((adopted_cfgs[r] for r in ROWS
+                   if "_high_" in r and r in adopted_cfgs
+                   and "secondary" in adopted_cfgs[r]), None)
+    n_one = (a_high or {}).get("secondary", {}).get(
+        "n", adopted_data.get("worlds"))
+    n_it = next((adopted_cfgs[r]["secondary"]["n"] for r in ROWS
+                 if r.endswith("_iter") and "_high_" in r
+                 and r in adopted_cfgs
+                 and "secondary" in adopted_cfgs[r]), n_one)
+    w(f"## The 8 published pose-graph configs (adopted profile: W ×{a_w})\n")
     w(f"✓ = the repo mean lies within the combined 95% CI (published "
-      f"10-run CI ⊕ repo Monte-Carlo CI; n={c_data['worlds']} worlds "
-      f"one-time / {c_data.get('worlds_iter', 128)} iterative). "
-      + ("† = low-noise row shared with hypothesis C by construction "
-         "(both dials ×1 at the calibrated low scale).\n" if d_low_shared
+      f"10-run CI ⊕ repo Monte-Carlo CI; n={n_one} worlds "
+      f"one-time / {n_it} iterative at high noise; low-noise rows "
+      f"n={c_data['worlds']}/{c_data.get('worlds_iter', 128)}). "
+      + ("† = low-noise row shared across the family by construction "
+         "(all dials ×1 at the calibrated low scale).\n" if a_shared
          else "\n"))
     w("| Config | ref secondary | repo secondary | ref PGS-init | repo "
       "PGS-init | ref PGS-result | repo PGS-result |")
@@ -287,14 +380,27 @@ def main():
           f"{fmt_pair(ref['pgs_result'], st['pgs_result'], pub_lookup(stats, name, 'pgs_result'))} |")
     w("")
 
-    w("## Scorecard: every published number, C vs D\n")
+    # Scorecard columns: C and D (the endpoints) plus the adopted interior
+    # member when it is neither.
+    score_cols = [("1 (C)", "C"), ("10 (D)", "D")]
+    if adopted_name not in ("1 (C)", "10 (D)"):
+        score_cols.append((adopted_name, f"W ×{a_w}"))
+    score_cols = [(n, lbl) for n, lbl in score_cols
+                  if any(fn == n for fn, _, _ in family)]
+    by_key = {n: {(r["name"], r["col"]): r for r in scores[n]}
+              for n, _, _ in family}
+    cfgs_by_name = {n: cf for n, cf, _ in family}
+
+    w("## Scorecard: every published number, "
+      + " vs ".join(lbl for _, lbl in score_cols) + "\n")
     w("Published ± is the 95% CI of the reference's own ~10 runs "
       "(docs/reference_runs_stats.json); repo ± is the Monte-Carlo CI. "
-      "✓ = inside the combined CI; the last column is D's relative error.\n")
-    w("| Config / column | published | C | D | D rel |")
-    w("|---|---|---|---|---|")
-    c_by_key = {(r["name"], r["col"]): r for r in c_score}
-    d_by_key = {(r["name"], r["col"]): r for r in d_score}
+      "✓ = inside the combined CI; the last column is the adopted "
+      f"profile's (W ×{a_w}) relative error.\n")
+    w("| Config / column | published | "
+      + " | ".join(lbl for _, lbl in score_cols) + " | rel |")
+    w("|---|---|" + "---|" * (len(score_cols) + 1))
+
     def cell(r):
         if r is None:
             return "—"
@@ -304,54 +410,40 @@ def main():
     n_excl = 0
     for name in ROWS:
         for col in COLS:
+            pub = pub_lookup(stats, name, col)
+            if pub is None:
+                continue
             if name.endswith("_iter") and col == "pgs_initial":
-                pub = pub_lookup(stats, name, col)
-                cst, dst = c_cfgs.get(name), d_cfgs.get(name)
-                if pub is None or cst is None:
-                    continue
                 n_excl += 1
-                dtxt = (f"{dst[col]['mean']:.3f} ± {dst[col]['ci95']:.3f}"
-                        if dst and col in dst else "—")
+                cells = []
+                for n, _ in score_cols:
+                    st = cfgs_by_name[n].get(name)
+                    cells.append(
+                        f"{st[col]['mean']:.3f} ± {st[col]['ci95']:.3f}"
+                        if st and col in st else "—")
                 w(f"| {name}/{col} ‡ | {pub['mean']:.3f} ± "
-                  f"{pub['ci95']:.3f} | {cst[col]['mean']:.3f} ± "
-                  f"{cst[col]['ci95']:.3f} | {dtxt} | n/a |")
+                  f"{pub['ci95']:.3f} | " + " | ".join(cells) + " | n/a |")
                 continue
-            dr = d_by_key.get((name, col))
-            cr = c_by_key.get((name, col))
-            if dr is None and cr is None:
+            rows_ = [by_key[n].get((name, col)) for n, _ in score_cols]
+            if not any(rows_):
                 continue
-            any_r = dr or cr
-            w(f"| {name}/{col} | {any_r['pub_mean']:.3f} ± "
-              f"{any_r['pub_ci']:.3f} | {cell(cr)} | {cell(dr)} | "
-              + (f"{dr['rel']:+.0%} |" if dr else "— |"))
+            ar = by_key[adopted_name].get((name, col))
+            w(f"| {name}/{col} | "
+              f"{pub['mean']:.3f} ± {pub['ci95']:.3f} | "
+              + " | ".join(cell(r) for r in rows_) + " | "
+              + (f"{ar['rel']:+.0%} |" if ar else "— |"))
     w("")
     if n_excl:
         w("‡ excluded from the totals: the reference's iter-mode published "
           "\"initial\" (`i_pgs_old.csv`) is the fed-back previous solve "
           "(pose_graph.cpp:262-267), a different statistic from this "
           "repo's seeded-node-values initial.\n")
-    w(f"Totals — C: {summarize(c_score)}. D: {summarize(d_score)}.\n")
+    w("Totals — " + " ".join(
+        f"{lbl}: {summarize(scores[n])}." for n, lbl in score_cols) + "\n")
 
     # ---- W-dial family sweep (r5): C and D are the endpoints of a
     # one-parameter family; the intermediate scales show whether ANY single
     # profile can satisfy all the high-noise columns at once.
-    family = [("1 (C)", c_cfgs), ]
-    for wname, path in (("3", "reference_parity_w3x.json"),
-                        ("5", "reference_parity_w5x.json")):
-        fj = load_json(os.path.join(base_dir, path))
-        if fj:
-            # the low-noise rows are W x1 for EVERY family member (a low-
-            # noise W dial is excluded by measurement: W x10 at low noise
-            # drives the compat EKF solo to ~0.94 m vs the published
-            # 0.19-0.27), so C's low rows are shared exactly as D shares
-            # them — one set of measurements, not a copy of convenience.
-            cfgs_f = dict(fj["configs"])
-            for nm in LOW_ROWS:
-                if nm not in cfgs_f and nm in c_cfgs:
-                    cfgs_f[nm] = {**c_cfgs[nm], "shared_with_c": True}
-            family.append((wname, cfgs_f))
-    if d_data:
-        family.append(("10 (D)", d_cfgs))
     if len(family) > 2:
         w("### The W-dial family: is there a single profile at all?\n")
         w("C (W ×1) and D (W ×10) are endpoints of a one-parameter family; "
@@ -359,7 +451,7 @@ def main():
           "one-time / 64 iterative, on-chip). Every high-noise published "
           "statistic against the family:\n")
         w("| Statistic | published | " +
-          " | ".join(f"W ×{n}" for n, _ in family) + " |")
+          " | ".join(f"W ×{n}" for n, _, _ in family) + " |")
         w("|---|---|" + "---|" * len(family))
         high_rows = [r for r in ROWS if "_high_" in r]
         for name in high_rows:
@@ -368,7 +460,7 @@ def main():
                 if pub is None or col == "pgs_initial":
                     continue
                 cells = []
-                for _, cfgs_f in family:
+                for _, cfgs_f, _ in family:
                     st = cfgs_f.get(name)
                     if st is None or col not in st:
                         cells.append("—")
@@ -390,11 +482,33 @@ def main():
           "published value ABOVE the converged optimum, so a converged "
           "mean BELOW published is explainable, one ABOVE it is a "
           "structural miss no stopping rule can produce.\n")
+        # Converged floors from the solver-budget sweeps
+        # (naive_high_one_time only — that is the config every sweep ran).
+        # The default-budget family values are not converged optima for
+        # every member, so reachability is judged at each member's measured
+        # floor when a sweep exists.
+        floor_files = {"1 (C)": ("pgs_convergence_cx.json",
+                                 "pgs_budget_probe.json"),
+                       "3": ("pgs_convergence_w3x.json",),
+                       "5": ("pgs_convergence_w5x.json",),
+                       "10 (D)": ("pgs_convergence_d.json",)}
+        floors = {}
+        for wname, fnames in floor_files.items():
+            for fname in fnames:
+                cj = load_json(os.path.join(base_dir, fname))
+                if not cj or not cj.get("budgets"):
+                    continue
+                k, st = min(cj["budgets"].items(),
+                            key=lambda kv: kv[1]["pgs_result"]["mean"])
+                floors[wname] = (st["pgs_result"]["mean"],
+                                 st["pgs_result"]["ci95"], k, fname,
+                                 st["pgs_result"].get("n", cj.get("worlds")))
+                break
         w("| Profile | high-noise | all 20 | naive pgs_result misses "
           "reachable by early stopping? |")
         w("|---|---|---|---|")
-        for wname, cfgs_f in family:
-            sc = scorecard(cfgs_f, stats)
+        for wname, cfgs_f, _ in family:
+            sc = scores[wname]
             hs = [r for r in sc if "_high_" in r["name"]]
             # reachability of the naive-seeded pgs_result columns
             reach, labels = True, []
@@ -403,31 +517,53 @@ def main():
                           and x["col"] == "pgs_result"), None)
                 if r is None or r["inside"]:
                     continue
-                comb = math.sqrt(r["pub_ci"] ** 2 + r["ci"] ** 2)
-                ok = r["mean"] <= r["pub_mean"] + comb
-                reach &= ok
-                labels.append(
-                    f"{'converged below' if ok else 'UNREACHABLE: converged'}"
-                    f" {r['mean']:.2f} vs {r['pub_mean']:.2f}")
+                fl = floors.get(wname) if nm == "naive_high_one_time" else None
+                if fl is not None:
+                    fm, fci, fk, _, fn = fl
+                    comb = math.sqrt(r["pub_ci"] ** 2 + fci ** 2)
+                    ok = fm <= r["pub_mean"] + comb
+                    reach &= ok
+                    labels.append(
+                        f"{'floor' if ok else 'UNREACHABLE: floor'} "
+                        f"{fm:.2f} ({fk}, n={fn}) vs {r['pub_mean']:.2f}")
+                else:
+                    comb = math.sqrt(r["pub_ci"] ** 2 + r["ci"] ** 2)
+                    ok = r["mean"] <= r["pub_mean"] + comb
+                    reach &= ok
+                    labels.append(
+                        f"{'converged below' if ok else 'UNREACHABLE: converged'}"
+                        f" {r['mean']:.2f} vs {r['pub_mean']:.2f}")
             verdict = "no misses" if not labels else (
                 ("yes — " if reach else "no — ") + "; ".join(labels))
             w(f"| W ×{wname} | {summarize(hs)} | {summarize(sc)} | "
               f"{verdict} |")
         w("")
+        if floors:
+            w("Floors are each member's best measured pgs_result over its "
+              "solver-budget sweep (naive_high_one_time; "
+              + ", ".join(f"W ×{n}: `{f}`" for n, (_, _, _, f, _)
+                          in floors.items()) + ").\n")
 
-    conv = load_json(os.path.join(base_dir, "pgs_convergence_d.json"))
+    conv_file = {"1 (C)": "pgs_convergence_cx.json",
+                 "3": "pgs_convergence_w3x.json",
+                 "5": "pgs_convergence_w5x.json",
+                 "10 (D)": "pgs_convergence_d.json"}[adopted_name]
+    conv = load_json(os.path.join(base_dir, conv_file))
+    if conv is None and adopted_name != "10 (D)":
+        conv_file = "pgs_convergence_d.json"
+        conv = load_json(os.path.join(base_dir, conv_file))
     if conv:
+        conv_w = conv.get("w_scale") or (10.0 if conv.get("scale_w") else 1.0)
         w("## The naive-secondary residual: a solver-convergence DOF\n")
-        w("D's remaining misses concentrate where the pose graph is "
-          "initialized from dead reckoning at high noise "
-          "(naive_high_*/pgs_result: repo converges ~0.6 m, published "
-          "0.93–1.00 m). The reference solves with GTSAM LM from that "
-          "initial estimate (pose_graph.cpp:283-284) and stops on its "
-          "default relative-decrease tolerance; this repo's bulk solver "
-          "runs a fixed Schur-PCG GN budget to convergence. Sweeping the "
-          "budget traces the optimizer's convergence path "
-          f"(naive_high_one_time under D, n={conv['worlds']} worlds "
-          "on-chip, `docs/pgs_convergence_d.json`):\n")
+        w("The adopted profile's remaining high-noise misses concentrate "
+          "where the pose graph is initialized from dead reckoning "
+          "(naive_high_*/pgs_result). The reference solves with GTSAM LM "
+          "from that initial estimate (pose_graph.cpp:283-284) and stops "
+          "on its default relative-decrease tolerance; this repo's bulk "
+          "solver runs a fixed Schur-PCG GN budget to convergence. "
+          "Sweeping the budget traces the optimizer's convergence path "
+          f"(naive_high_one_time at W ×{conv_w:g}, n={conv['worlds']} "
+          f"worlds on-chip, `docs/{conv_file}`):\n")
         w("| GN budget | PGS result (m) |")
         w("|---|---|")
         path_vals = []
@@ -443,22 +579,34 @@ def main():
                 max(means), conv.get("init_mean", 2.27)):
             w(f"The published {pub['mean']:.3f} ± {pub['ci95']:.3f} lies ON "
               "this path — between partial and full convergence — so the "
-              "published naive-config results are consistent with profile D "
-              "plus an optimizer that stops earlier from a poor initial "
-              "estimate than this repo's fixed-budget solver does. The "
-              "repo's converged optimum is *better* than the published "
-              "numbers, not differently wrong.\n")
+              "published naive-config results are consistent with the "
+              "adopted profile plus an optimizer that stops earlier from a "
+              "poor initial estimate than this repo's fixed-budget solver "
+              "does. The repo's converged optimum is *better* than the "
+              "published numbers, not differently wrong.\n")
+        elif pub and means and min(means) > pub["mean"]:
+            w(f"The published {pub['mean']:.3f} ± {pub['ci95']:.3f} lies "
+              f"BELOW the sweep's best point ({min(means):.3f}); see the "
+              "family reachability table for whether the gap is inside the "
+              "combined CI at the floor.\n")
 
     w("## What remains unexplained\n")
-    misses = [r for r in d_score if not r["inside"]]
+    misses = [r for r in adopted_score if not r["inside"]]
     if misses:
-        w("Under the adopted profile D, the numbers outside the combined "
-          "95% CI are:\n")
+        w(f"Under the adopted profile (W ×{a_w}), the numbers outside the "
+          "combined 95% CI are:\n")
         for r in sorted(misses, key=lambda r: -abs(r["rel"])):
             w(f"- `{r['name']}/{r['col']}`: published {r['pub_mean']:.3f} ± "
               f"{r['pub_ci']:.3f} vs repo {r['mean']:.3f} ± {r['ci']:.3f} "
               f"({r['rel']:+.0%})")
         w("")
+    # adopted profile's EKF-secondary value vs the two published run dirs
+    a_sec = next((r for r in adopted_score
+                  if r["name"] == "ekf_slam_high_one_time"
+                  and r["col"] == "secondary"), None)
+    sec_txt = (f"(the adopted profile's single value, "
+               f"{a_sec['mean']:.2f}, must answer for both)"
+               if a_sec else "")
     w("Three structural facts bound what any single-profile reconstruction "
       "can achieve:\n")
     w("1. **The published data is internally inconsistent at its own CI "
@@ -466,8 +614,7 @@ def main():
       "the same nominal config in both high-noise run dirs, yet publishes "
       "0.930 ± 0.298 (one_time) and 1.397 ± 0.705 (iter) — a 0.47 m "
       "spread between means of identical configurations. Any single "
-      "profile produces ONE value for that column (D: ~1.33, inside the "
-      "iter CI, just outside the one_time CI).")
+      f"profile produces ONE value for that column {sec_txt}.")
     w("2. **The naive-config pose-graph results carry a solver-convergence "
       "degree of freedom** the published CSVs don't record (GTSAM LM "
       "stopping criteria vs this repo's fixed budget) — see the "
@@ -480,8 +627,8 @@ def main():
       "lengths, matplotlib-era metric sampling) dominate.")
     w("")
 
-    w("## Appendix: the exclusion chain that led to D\n")
-    w("Before D was identified, the high-noise pgs_result residual under C "
+    w("## Appendix: the exclusion chain that led to the W-dial family\n")
+    w("Before the W dial was identified, the high-noise pgs_result residual under C "
       "(repo 1.83 vs published 0.93 for the naive secondary — above even "
       "the published 10-run max of 1.79) was probed mechanism by "
       "mechanism (`scripts/pgs_budget_probe.py`, 8 worlds, T=1000, "

@@ -578,7 +578,7 @@ def test_matrix_to_artifacts_script(tmp_path):
 
 def test_committed_artifact_trees_match_their_stats():
     """The committed data/ trees must track their source JSONs: data/<run>/
-    is the calibrated compat tree (adopted profile D high rows +
+    is the calibrated compat tree (adopted profile W ×5 high rows +
     shared-with-C low rows) and data/honest_mode/<run>/ the params-default
     matrix — so same-named files stay number-comparable with the
     reference's published CSVs (VERDICT r4 #3; base_pkg/data layout,
@@ -612,7 +612,7 @@ def test_committed_artifact_trees_match_their_stats():
                     run_dir, csv, vals.mean(), cfg[col]["mean"])
 
     check_tree("data", load_cfgs("reference_parity.json",
-                                 "reference_parity_d.json"))
+                                 "reference_parity_w5x.json"))
     check_tree(os.path.join("data", "honest_mode"),
                load_cfgs("accuracy_matrix_v2.json"))
     # magnitude parity of the calibrated tree with the reference's own
