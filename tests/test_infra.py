@@ -688,3 +688,20 @@ def test_parity_report_renders(tmp_path):
     # shared-with-C dagger)
     for row in ("| naive_high_one_time |", "| ekf_slam_low_iter† |"):
         assert row in text, row
+    # adoption invariant: the profile named in the header is the member
+    # whose all-22 scorecard row is bolded, and it has the family's max
+    # inside-the-CI count (the renderer picks it by rank(), so a data
+    # change that dethrones it must also move the narrative)
+    import re
+
+    m = re.search(r"\*\*Adopted reconstruction: ([^*]+)\*\*", text)
+    assert m, "missing adopted-reconstruction statement"
+    bold_row = re.search(r"\| \*\*(.+?) \(adopted\)\*\* \| \*\*(\d+)/20",
+                         text)
+    assert bold_row, "missing bolded adopted row in the all-22 table"
+    insides = [int(n) for n in re.findall(r"\| (\d+)/20 inside", text)]
+    assert int(bold_row.group(2)) == max(insides), (bold_row.group(0),
+                                                    insides)
+    # floor-aware reachability renders when any budget sweep exists
+    if "### The W-dial family" in text:
+        assert "Floors are each member's best measured pgs_result" in text
