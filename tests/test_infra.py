@@ -659,6 +659,49 @@ def test_reference_parity_smoke(tmp_path):
     assert d["calibration"]["high"]["scale"] > d["calibration"]["low"]["scale"]
 
 
+def test_adopted_profile_config_chain():
+    """The adopted noise-profile reconstruction (REFERENCE_PARITY.md:
+    V_11 ×10, W ×5) pins an exact config chain: the sim runs a hotter
+    angular process dial and ×5 sensing half-widths, and — through the
+    reference's V/W-overwrite quirk (filter.h:110-117) — the pose graph's
+    between-factor sigmas become the SCALED SENSING half-widths while the
+    bearing-range sigmas stay (1, 1): exactly the reweighting the W-dial
+    family sweep measured. A change to any link (make_compat_cfg,
+    CompatConfig, filter_noise, _noise_sigmas) that silently altered the
+    adopted profile would break this before it could skew a
+    re-measurement."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from accuracy_matrix import HIGH_NOISE
+        from reference_parity import make_compat_cfg
+    finally:
+        sys.path.pop(0)
+    from live_ekf_slam_tpu.config import Config
+    from live_ekf_slam_tpu.models.posegraph import _noise_sigmas
+
+    base = Config(num_iterations=100)
+    cfg = make_compat_cfg(base, 10.0, "pose_graph", secondary="naive",
+                          iterative=False, profile="ang", w_scale=5.0)
+    # sim dials: angular process x10, forward unscaled, sensing x5
+    assert cfg.process_noise.V_00 == HIGH_NOISE["V_00"]
+    assert cfg.process_noise.V_11 == HIGH_NOISE["V_11"] * 10.0
+    assert cfg.sensing_noise.W_00 == HIGH_NOISE["W_00"] * 5.0
+    assert cfg.sensing_noise.W_11 == HIGH_NOISE["W_11"] * 5.0
+    assert cfg.compat.noise_vw_swap and cfg.compat.pg_variances_as_sigmas
+    # quirk: the filters see V <- scaled sensing half-widths, W <- I2
+    (v00, v11), (w00, w11) = cfg.filter_noise()
+    assert (v00, v11) == (cfg.sensing_noise.W_00, cfg.sensing_noise.W_11)
+    assert (w00, w11) == (1.0, 1.0)
+    # graph wiring: between-factor sigmas ARE the scaled sensing
+    # half-widths (0.05 at W x5); bearing-range sigmas stay (1, 1)
+    odom_s, meas_s = _noise_sigmas(cfg)
+    assert tuple(np.round(odom_s, 12)) == (0.05, 0.05, 0.05)
+    assert tuple(meas_s) == (1.0, 1.0)
+
+
 def test_parity_report_renders(tmp_path):
     """scripts/parity_report.py renders the committed on-chip parity JSON
     into the full markdown report (all 8 PGS rows + the probe tables)."""
