@@ -700,13 +700,15 @@ def main():
       "did NOT reproduce it (1.79 ± 0.27) — the small-n result confounded "
       "density with the solver budget and its particular 8 maps. Density "
       "and sensing range are excluded at matched budget and proper world "
-      "count; the dial that actually closes the gap is D's between-factor "
-      "reweighting above.\n")
+      "count; the dial that actually closes the gap is the W dial's "
+      "between-factor reweighting above (best joint fit at the adopted "
+      f"W ×{a_w}).\n")
     w("Wall-time note: each one-time PGS config is ~8–9 min on one chip at "
       "256 worlds; the reference's equivalent is ~10 sequential rospy "
       "runs. C rows: `scripts/reference_parity.py --profile ang`; D rows: "
-      "`--profile ang --scale-w` (resume-safe; see "
-      "`scripts/tpu_queue_r4i.sh`, `scripts/tpu_queue_r5.sh`).\n")
+      "`--profile ang --scale-w`; interior W ×k rows: `--profile ang "
+      "--w-scale k` (resume-safe; see `scripts/tpu_queue_r4i.sh`, "
+      "`scripts/tpu_queue_r5b.sh`).\n")
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
