@@ -600,6 +600,68 @@ def main():
               f"{r['pub_ci']:.3f} vs repo {r['mean']:.3f} ± {r['ci']:.3f} "
               f"({r['rel']:+.0%})")
         w("")
+    # Low-noise convergence floors (phase-8 sweeps): do the published
+    # low-noise pgs_result values lie on the solver's convergence path
+    # the way the high-noise one does?
+    low_sweeps = [("naive_low_one_time", "pgs_convergence_low.json"),
+                  ("ekf_slam_low_one_time", "pgs_convergence_low_ekf.json")]
+    low_rows = []
+    for nm, fname in low_sweeps:
+        cj = load_json(os.path.join(base_dir, fname))
+        pub = pub_lookup(stats, nm, "pgs_result")
+        if cj and cj.get("budgets") and pub:
+            low_rows.append((nm, fname, cj, pub))
+    if low_rows:
+        w("### The low-noise misses against the same convergence DOF\n")
+        w("The low-noise pgs_result misses carry the high-noise signature "
+          "— repo above published at the default 50×40 budget — so the "
+          "same sweep was run at the calibrated low profile (64 worlds "
+          "on-chip, one_time, W ×1; the low rows are family-shared):\n")
+        hdr_keys = list(low_rows[0][2]["budgets"].keys())
+        w("| config | " + " | ".join(f"GN {k.split('x')[0]}"
+                                     for k in hdr_keys)
+          + " | published | verdict |")
+        w("|---|" + "---|" * (len(hdr_keys) + 2))
+        n_explained = 0
+        for nm, fname, cj, pub in low_rows:
+            cells, floor = [], None
+            for k in hdr_keys:
+                st = cj["budgets"].get(k)
+                if st is None:
+                    cells.append("—")
+                    continue
+                m, ci = st["pgs_result"]["mean"], st["pgs_result"]["ci95"]
+                cells.append(f"{m:.3f} ± {ci:.3f}")
+                if floor is None or m < floor[0]:
+                    floor = (m, ci)
+            comb = math.sqrt(pub["ci95"] ** 2 + floor[1] ** 2)
+            ok = floor[0] <= pub["mean"] + comb
+            n_explained += ok
+            verdict = ("published ON the path — explainable by early "
+                       "stopping" if ok else
+                       f"floor stays {floor[0] / pub['mean'] - 1:+.0%} "
+                       "above published — NOT a convergence artifact")
+            w(f"| {nm} (`{fname}`) | " + " | ".join(cells)
+              + f" | {pub['mean']:.3f} ± {pub['ci95']:.3f} | {verdict} |")
+        w("")
+        if n_explained == len(low_rows):
+            w("Both measured low-noise floors pass through the published "
+              "values: every pgs_result miss under the adopted profile — "
+              "high and low noise — is accounted for by the measured "
+              "solver-convergence DOF, and the iter-mode rows share the "
+              "same solver and graph shape. The only residuals left "
+              "without a measured mechanism are low-noise secondary-filter "
+              "rows within ±21%, bounded by structural fact 3 below.\n")
+        elif n_explained == 0:
+            w("Neither low floor reaches the published value: the "
+              "low-noise misses are NOT a convergence artifact — the "
+              "tight-published-CI attribution (structural fact 3) is the "
+              "operative explanation there.\n")
+        else:
+            w("The floors split: one low miss is convergence-explainable, "
+              "the other is not — structural fact 3 remains the operative "
+              "explanation for the remainder.\n")
+
     # adopted profile's EKF-secondary value vs the two published run dirs
     a_sec = next((r for r in adopted_score
                   if r["name"] == "ekf_slam_high_one_time"
