@@ -748,3 +748,47 @@ def test_parity_report_renders(tmp_path):
     # floor-aware reachability renders when any budget sweep exists
     if "### The W-dial family" in text:
         assert "Floors are each member's best measured pgs_result" in text
+
+
+def test_parity_report_low_noise_floor_section(tmp_path):
+    """The phase-8 low-noise convergence sweeps render an adjudication
+    subsection: a floor at/below the published value is declared
+    convergence-explainable, one that stays above it is not, and a split
+    outcome says so explicitly."""
+    import json as _json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = os.path.join(repo, "docs")
+    workdir = tmp_path / "docs"
+    workdir.mkdir()
+    for f in os.listdir(docs):
+        if f.endswith(".json") or f.endswith(".jsonl"):
+            shutil.copy(os.path.join(docs, f), workdir / f)
+    # synthetic naive floor passing BELOW published 0.192 -> explainable
+    (workdir / "pgs_convergence_low.json").write_text(_json.dumps({
+        "worlds": 64, "budgets": {
+            "50x40": {"pgs_result": {"mean": 0.24, "ci95": 0.01, "n": 64}},
+            "400x80": {"pgs_result": {"mean": 0.185, "ci95": 0.01,
+                                      "n": 64}}}}))
+    # synthetic EKF floor staying ABOVE published 0.181 -> not explainable
+    (workdir / "pgs_convergence_low_ekf.json").write_text(_json.dumps({
+        "worlds": 64, "budgets": {
+            "50x40": {"pgs_result": {"mean": 0.22, "ci95": 0.008, "n": 64}},
+            "400x80": {"pgs_result": {"mean": 0.21, "ci95": 0.008,
+                                      "n": 64}}}}))
+    out = tmp_path / "REFERENCE_PARITY.md"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "parity_report.py"),
+         "--json", str(workdir / "reference_parity.json"),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    text = out.read_text()
+    assert "### The low-noise misses against the same convergence DOF" in text
+    assert "explainable by early stopping" in text
+    assert "NOT a convergence artifact" in text
+    assert "The floors split" in text
