@@ -70,29 +70,45 @@ def tpu_reachable(timeout_s=None):
     before the main run starts). Reading a scalar forces real execution;
     block_until_ready returns early through the tunnel.
     """
+    # After a Pallas-program client exits, the tunnel can refuse the next
+    # client for 3-5 min — and a probe that connects DURING that window
+    # hangs forever even once the window clears (observed r5: a single
+    # 330 s probe timed out while the very next fresh connection worked).
+    # So ride it out the way the queue's wait_for_tpu does: several short
+    # fresh-process attempts with gaps, not one long one.
     if timeout_s is None:
-        # after a Pallas-program client exits, the tunnel can refuse the next
-        # client for 3-5 min (alternating probe-hangs observed in the r4
-        # queue logs) — default high enough to ride that out
-        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "330"))
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4"))
+    gap_s = int(os.environ.get("BENCH_PROBE_GAP", "45"))
     probe = (
         "import jax, jax.numpy as jnp\n"
         "y = jnp.ones((128, 128)) @ jnp.ones((128, 128))\n"
         "print('ok', jax.devices()[0].platform, float(y[0, 0]))\n"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", probe],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        return False, f"device probe hung >{timeout_s}s (tunnel unresponsive)"
-    if r.returncode != 0:
-        tail = (r.stderr or r.stdout).strip().splitlines()
-        return False, tail[-1] if tail else "probe failed with no output"
-    return True, r.stdout.strip()
+    detail = "no probe attempts"
+    for i in range(attempts):
+        if i:
+            time.sleep(gap_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            detail = (
+                f"device probe hung >{timeout_s}s x{i + 1} (tunnel unresponsive)"
+            )
+            log(f"TPU probe attempt {i + 1}/{attempts}: hung >{timeout_s}s")
+            continue
+        if r.returncode != 0:
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            detail = tail[-1] if tail else "probe failed with no output"
+            log(f"TPU probe attempt {i + 1}/{attempts}: {detail}")
+            continue
+        return True, r.stdout.strip()
+    return False, detail
 
 
 def closed_loop_bench(batch, t_total, reps, force_cpu):

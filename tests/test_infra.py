@@ -792,3 +792,48 @@ def test_parity_report_low_noise_floor_section(tmp_path):
     assert "explainable by early stopping" in text
     assert "NOT a convergence artifact" in text
     assert "The floors split" in text
+
+
+def test_bench_probe_rides_out_refusal_window(monkeypatch):
+    """tpu_reachable must retry with FRESH probe processes: a child that
+    connects during the tunnel's post-exit refusal window hangs forever,
+    while the next fresh connection succeeds (observed r5 queue logs)."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setenv("BENCH_PROBE_GAP", "0")
+    calls = {"n": 0}
+
+    class _Ok:
+        returncode = 0
+        stdout = "ok tpu 128.0"
+        stderr = ""
+
+    def fake_run(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+        return _Ok()
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    ok, detail = bench.tpu_reachable(timeout_s=1)
+    assert ok and detail == "ok tpu 128.0" and calls["n"] == 2
+
+    # every attempt hangs -> structured failure naming the attempt count
+    calls["n"] = 0
+
+    def always_hang(*a, **kw):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", always_hang)
+    monkeypatch.setenv("BENCH_PROBE_ATTEMPTS", "3")
+    ok, detail = bench.tpu_reachable(timeout_s=1)
+    assert not ok and calls["n"] == 3 and "x3" in detail
