@@ -31,9 +31,10 @@ import time
 
 import numpy as np
 
-# Every successful in-round measurement is also appended here, so the perf
+# Every successful ON-CHIP measurement is also appended here, so the perf
 # record survives a capture-time tunnel outage (BENCH_r03 rc=1 and BENCH_r04
 # structured-skip both lost otherwise-green in-round numbers to prose).
+# CPU smoke runs are NOT logged — the file is the hardware perf history.
 RUNS_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "docs", "bench_runs.jsonl")
 
@@ -202,21 +203,23 @@ def closed_loop_bench(batch, t_total, reps, force_cpu):
     steps = t_run / elapsed
     avg_err = float(np.nanmean(err / t_run))
     assert np.isfinite(avg_err), "closed-loop rollout produced non-finite errors"
-    try:
-        with open(RUNS_LOG, "a") as f:
-            f.write(json.dumps({
-                "ts": datetime.datetime.now(datetime.timezone.utc)
-                .isoformat(timespec="seconds"),
-                "filter": "closed_loop", "impl": "xla", "protocol": "igvc1",
-                "worlds": batch, "t": t_run, "replan_period": period,
-                "platform": "cpu" if force_cpu else "tpu",
-                "steps_per_sec_per_world": round(steps, 1),
-                "astar_ms_per_replan_block": round(astar_ms, 2),
-                "rep_times_s": [round(t, 4) for t in rep_times],
-                "avg_err_m": round(avg_err, 4),
-            }) + "\n")
-    except OSError as e:  # pragma: no cover
-        log(f"bench_runs.jsonl append failed: {e}")
+    if not force_cpu:
+        try:
+            with open(RUNS_LOG, "a") as f:
+                f.write(json.dumps({
+                    "ts": datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"),
+                    "filter": "closed_loop", "impl": "xla",
+                    "protocol": "igvc1",
+                    "worlds": batch, "t": t_run, "replan_period": period,
+                    "platform": "tpu",
+                    "steps_per_sec_per_world": round(steps, 1),
+                    "astar_ms_per_replan_block": round(astar_ms, 2),
+                    "rep_times_s": [round(t, 4) for t in rep_times],
+                    "avg_err_m": round(avg_err, 4),
+                }) + "\n")
+        except OSError as e:  # pragma: no cover
+            log(f"bench_runs.jsonl append failed: {e}")
     print(json.dumps({
         "metric": (
             f"closed-loop igvc sim+EKF+A*+pure-pursuit steps/sec/world at "
@@ -413,21 +416,23 @@ def main():
     avg_err = float(np.nanmean(err / t_total))
     assert np.isfinite(avg_err), "benchmark rollout produced non-finite errors"
 
-    try:
-        with open(RUNS_LOG, "a") as f:
-            f.write(json.dumps({
-                "ts": datetime.datetime.now(datetime.timezone.utc)
-                .isoformat(timespec="seconds"),
-                "filter": filt, "impl": impl, "protocol": protocol,
-                "worlds": batch, "t": t_total, "block": block,
-                "platform": "cpu" if force_cpu else "tpu",
-                "steps_per_sec_per_world": round(steps_per_sec_per_world, 1),
-                "rep_times_s": [round(t, 4) for t in rep_times],
-                "pipelined_s_per_rep": round(pipelined, 4),
-                "avg_err_m": round(avg_err, 4),
-            }) + "\n")
-    except OSError as e:  # pragma: no cover - the log is best-effort
-        log(f"bench_runs.jsonl append failed: {e}")
+    if not force_cpu:
+        try:
+            with open(RUNS_LOG, "a") as f:
+                f.write(json.dumps({
+                    "ts": datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"),
+                    "filter": filt, "impl": impl, "protocol": protocol,
+                    "worlds": batch, "t": t_total, "block": block,
+                    "platform": "tpu",
+                    "steps_per_sec_per_world":
+                        round(steps_per_sec_per_world, 1),
+                    "rep_times_s": [round(t, 4) for t in rep_times],
+                    "pipelined_s_per_rep": round(pipelined, 4),
+                    "avg_err_m": round(avg_err, 4),
+                }) + "\n")
+        except OSError as e:  # pragma: no cover - the log is best-effort
+            log(f"bench_runs.jsonl append failed: {e}")
 
     print(
         json.dumps(
