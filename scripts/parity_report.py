@@ -704,6 +704,14 @@ def main():
             for k, v in bp["budgets"].items())
         w(f"| Solver budget (GN×CG sweep) | {span} | converged by 150×40 — "
           "not an iteration-budget artifact |")
+    cx = load_json(os.path.join(base_dir, "pgs_convergence_cx.json"))
+    if cx and len(cx.get("budgets", {})) > 1:
+        span = " → ".join(
+            f"{k}: {v['pgs_result']['mean']:.2f}"
+            for k, v in cx["budgets"].items())
+        w(f"| Solver budget, re-run at the uniform protocol "
+          f"(n={cx['worlds']}, chip) | {span} | C's floor stays far above "
+          "the published 0.93 — exclusion confirmed at matrix scale |")
     cp = load_json(os.path.join(base_dir, "pgs_chordal_probe.json"))
     if cp:
         k, v = next(iter(cp["budgets"].items()))

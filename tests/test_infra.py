@@ -794,6 +794,54 @@ def test_parity_report_low_noise_floor_section(tmp_path):
     assert "The floors split" in text
 
 
+def test_parity_report_cx_floor_at_uniform_protocol(tmp_path):
+    """Once the C-profile budget sweep exists at the uniform 64-world
+    on-chip protocol (docs/pgs_convergence_cx.json, >1 budget), the
+    renderer must (a) source the W x1 reachability floor from it instead
+    of the 8-world CPU probe and (b) add the matrix-scale exclusion row
+    to the appendix sweep table."""
+    import json as _json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = os.path.join(repo, "docs")
+    workdir = tmp_path / "docs"
+    workdir.mkdir()
+    for f in os.listdir(docs):
+        if f.endswith(".json") or f.endswith(".jsonl"):
+            shutil.copy(os.path.join(docs, f), workdir / f)
+    (workdir / "pgs_convergence_cx.json").write_text(_json.dumps({
+        "worlds": 64, "budgets": {
+            "50x40": {"pgs_result": {"mean": 2.05, "ci95": 0.23, "n": 64}},
+            "150x40": {"pgs_result": {"mean": 1.92, "ci95": 0.25, "n": 64}},
+            "400x80": {"pgs_result": {"mean": 1.80, "ci95": 0.24,
+                                      "n": 64}}}}))
+    out = tmp_path / "REFERENCE_PARITY.md"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "parity_report.py"),
+         "--json", str(workdir / "reference_parity.json"),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    text = out.read_text()
+    # (a) the W x1 floor row now cites the chip sweep's best point, n=64
+    assert "W ×1 (C): `pgs_convergence_cx.json`" in text
+    assert "floor 1.80 (400x80, n=64)" in text
+    # C stays unreachable at matrix scale (floor far above published 0.93)
+    import re
+
+    wx1 = next(l for l in text.splitlines() if l.startswith("| W ×1 (C) |"))
+    assert "UNREACHABLE" in wx1 or "no —" in wx1
+    # (b) the appendix gains the uniform-protocol confirmation row
+    assert re.search(
+        r"\| Solver budget, re-run at the uniform protocol \(n=64, chip\) "
+        r"\| 50x40: 2\.05 → 150x40: 1\.92 → 400x80: 1\.80 \| C's floor "
+        r"stays far above the published 0\.93", text), text[-3000:]
+
+
 def test_bench_probe_rides_out_refusal_window(monkeypatch):
     """tpu_reachable must retry with FRESH probe processes: a child that
     connects during the tunnel's post-exit refusal window hangs forever,
