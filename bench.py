@@ -77,19 +77,30 @@ def tpu_reachable(timeout_s=None):
     # 330 s probe timed out while the very next fresh connection worked).
     # So ride it out the way the queue's wait_for_tpu does: several short
     # fresh-process attempts with gaps, not one long one.
+    # The window's measured length varies: the r5 queue saw one clear in
+    # <4 min and another hold for ~15 min (4x150s probe attempts all hung,
+    # then the very next fresh connection worked). A fixed attempt count
+    # therefore under-rides the long windows, so probing continues until
+    # BOTH the minimum attempt count is exhausted AND a wall-clock deadline
+    # has passed — the deadline exists for the round driver's BENCH capture,
+    # where giving up early turns an outage wobble into a missing artifact.
     if timeout_s is None:
         timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4"))
     gap_s = int(os.environ.get("BENCH_PROBE_GAP", "45"))
+    deadline_s = int(os.environ.get("BENCH_PROBE_DEADLINE", "1080"))
     probe = (
         "import jax, jax.numpy as jnp\n"
         "y = jnp.ones((128, 128)) @ jnp.ones((128, 128))\n"
         "print('ok', jax.devices()[0].platform, float(y[0, 0]))\n"
     )
     detail = "no probe attempts"
-    for i in range(attempts):
+    start = time.monotonic()
+    i = 0
+    while True:
         if i:
             time.sleep(gap_s)
+        i += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
@@ -99,17 +110,17 @@ def tpu_reachable(timeout_s=None):
             )
         except subprocess.TimeoutExpired:
             detail = (
-                f"device probe hung >{timeout_s}s x{i + 1} (tunnel unresponsive)"
+                f"device probe hung >{timeout_s}s x{i} (tunnel unresponsive)"
             )
-            log(f"TPU probe attempt {i + 1}/{attempts}: hung >{timeout_s}s")
-            continue
-        if r.returncode != 0:
+            log(f"TPU probe attempt {i}/{attempts}+: hung >{timeout_s}s")
+        else:
+            if r.returncode == 0:
+                return True, r.stdout.strip()
             tail = (r.stderr or r.stdout).strip().splitlines()
             detail = tail[-1] if tail else "probe failed with no output"
-            log(f"TPU probe attempt {i + 1}/{attempts}: {detail}")
-            continue
-        return True, r.stdout.strip()
-    return False, detail
+            log(f"TPU probe attempt {i}/{attempts}+: {detail}")
+        if i >= attempts and time.monotonic() - start >= deadline_s:
+            return False, detail
 
 
 def closed_loop_bench(batch, t_total, reps, force_cpu):

@@ -883,5 +883,15 @@ def test_bench_probe_rides_out_refusal_window(monkeypatch):
 
     monkeypatch.setattr(bench.subprocess, "run", always_hang)
     monkeypatch.setenv("BENCH_PROBE_ATTEMPTS", "3")
+    monkeypatch.setenv("BENCH_PROBE_DEADLINE", "0")
     ok, detail = bench.tpu_reachable(timeout_s=1)
     assert not ok and calls["n"] == 3 and "x3" in detail
+
+    # the wall-clock deadline extends probing past the attempt count (the
+    # observed refusal windows vary 4-15 min; a fixed count under-rides
+    # the long ones) — with an instant always-hang fake and a 1 s deadline
+    # the loop must keep trying well beyond the 3-attempt minimum
+    calls["n"] = 0
+    monkeypatch.setenv("BENCH_PROBE_DEADLINE", "1")
+    ok, detail = bench.tpu_reachable(timeout_s=1)
+    assert not ok and calls["n"] > 3 and f"x{calls['n']}" in detail
