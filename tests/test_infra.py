@@ -842,6 +842,39 @@ def test_parity_report_cx_floor_at_uniform_protocol(tmp_path):
         r"stays far above the published 0\.93", text), text[-3000:]
 
 
+def test_probe_index_covers_every_docs_json():
+    """docs/PROBES.md is the provenance index: every measurement JSON in
+    docs/ must have a row (question -> answer -> superseded-by), and every
+    file the index cites must exist. Keeps the evidence auditable as
+    probes accumulate."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = os.path.join(repo, "docs")
+    with open(os.path.join(docs, "PROBES.md")) as f:
+        idx = f.read()
+    listed = set(re.findall(r"`([\w./]+\.jsonl?)`", idx))
+    actual = {f for f in os.listdir(docs)
+              if f.endswith(".json") or f.endswith(".jsonl")}
+    assert actual - listed == set(), (
+        f"docs JSONs missing a PROBES.md row: {sorted(actual - listed)}")
+    assert listed - actual == set(), (
+        f"PROBES.md cites files that do not exist: {sorted(listed - actual)}")
+
+    # every bench_runs.jsonl line is a parseable on-chip record with the
+    # fields BENCHMARKS.md's tables are built from
+    import json as _json
+
+    with open(os.path.join(docs, "bench_runs.jsonl")) as f:
+        rows = [_json.loads(line) for line in f if line.strip()]
+    assert rows, "bench_runs.jsonl must hold at least one on-chip record"
+    for r in rows:
+        assert r["platform"] == "tpu", r
+        for k in ("ts", "filter", "worlds", "t",
+                  "steps_per_sec_per_world", "rep_times_s", "avg_err_m"):
+            assert k in r, (k, r)
+
+
 def test_bench_probe_rides_out_refusal_window(monkeypatch):
     """tpu_reachable must retry with FRESH probe processes: a child that
     connects during the tunnel's post-exit refusal window hangs forever,
