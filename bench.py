@@ -144,11 +144,15 @@ def closed_loop_bench(batch, t_total, reps, force_cpu):
     # A* bounds sized for the 1.8 m local plans the igvc loop actually
     # issues (~18 cells; 128 relaxation sweeps is generous) instead of the
     # whole-map default.
+    # astar_window=64: the ~18-cell local plans relax a cropped 64-cell
+    # window instead of the full 150^2 grid — exact for in-window plans
+    # (tests/test_planning.py), (150/64)^2 ≈ 5.5x less relaxed area.
     cfg = cfg.replace(
         num_landmark_slots=37, num_meas_slots=16,
         path_planning=dataclasses.replace(
             cfg.path_planning, astar_max_iters=128,
-            local_astar_max_iters=64, path_capacity=128),
+            local_astar_max_iters=64, path_capacity=128,
+            astar_window=64),
     )
     period = cfg.path_planning.replan_period
     # segment the rollout so no single device call outlives the TPU

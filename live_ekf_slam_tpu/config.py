@@ -179,6 +179,15 @@ class PathPlanningConfig:
     path_capacity: int = 512       # max path points held by pure pursuit
     astar_max_iters: int = 512     # min-plus relaxation sweeps bound (global A*)
     local_astar_max_iters: int = 96  # bound for the 1.8 m local plans
+    # 0 = relax the full occ grid (exact; default). >0 = crop a static
+    # (window, window) view centered on the start cell and plan inside it:
+    # the local-planner loop only ever plans ~local_planner_dist ahead
+    # (astar.py:12-56 ⇒ ~18 cells at grid_scale 0.1), so a 64-cell window
+    # preserves those plans exactly while shrinking the relaxed area
+    # (150/64)² ≈ 5.5x. Plans that would have to leave the window report
+    # reached=False (the loop keeps its previous path, same as a bounded-
+    # iteration miss). Used by the igvc closed-loop preset/bench.
+    astar_window: int = 0
     replan_period: int = 5         # goal_pursuit_node.py:30 — replan every 5 ticks
     # Non-blocking local replanning: run A* on the native JobScheduler's
     # worker threads (C++ A* releases the GIL) and swap the new segment in

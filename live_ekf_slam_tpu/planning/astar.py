@@ -131,20 +131,48 @@ def extract_path(dist, goal_ij, max_len: int, diagonals: bool = True):
     return cells, valid, reached
 
 
+def _window_offset(center_ij, window: int, s: int):
+    """Top-left corner of a (window, window) crop centered on `center_ij`,
+    clamped so the crop stays inside the (s, s) grid."""
+    return jnp.clip(center_ij - window // 2, 0, s - window)
+
+
 def astar(cfg: Config, occ, start_xy, goal_xy, max_iters=None, max_len=None):
     """Plan in world coordinates. Returns (path_xy (L, 2), valid (L,), reached).
 
     Equivalent role to Astar.astar + interpret_astar_path (astar.py:59-155):
     the returned path is start->goal in world coords, excluding the start.
+
+    When `cfg.path_planning.astar_window > 0` the relaxation runs on a
+    static (window, window) crop centered on the start cell (trace-time
+    constant shape; the crop is a `dynamic_slice`). A goal outside the
+    window reports reached=False; paths inside it are identical to the
+    full-grid result whenever a shortest path stays in the window — which
+    the ~18-cell igvc local plans always do.
     """
     it = max_iters or cfg.path_planning.astar_max_iters
     ln = max_len or it
     diag = cfg.path_planning.astar_incl_diagonals
+    win = cfg.path_planning.astar_window
     start_ij = tf_ekf_to_map(cfg, jnp.asarray(start_xy))
     goal_ij = tf_ekf_to_map(cfg, jnp.asarray(goal_xy))
     s = occ.shape[0]
     start_ij = jnp.clip(start_ij, 0, s - 1)
     goal_ij = jnp.clip(goal_ij, 0, s - 1)
+    if win and win < s:
+        off = _window_offset(start_ij, win, s)
+        occ_w = jax.lax.dynamic_slice(occ, (off[0], off[1]), (win, win))
+        goal_w = goal_ij - off
+        inside = jnp.all((goal_w >= 0) & (goal_w < win))
+        dist = distance_field(occ_w, start_ij - off, it, diag)
+        cells, valid, reached = extract_path(
+            dist, jnp.clip(goal_w, 0, win - 1), ln, diag
+        )
+        return (
+            tf_map_to_ekf(cfg, cells + off[None, :]),
+            valid & inside,
+            reached & inside,
+        )
     dist = distance_field(occ, start_ij, it, diag)
     cells, valid, reached = extract_path(dist, goal_ij, ln, diag)
     return tf_map_to_ekf(cfg, cells), valid, reached
@@ -165,15 +193,27 @@ def local_planner(cfg: Config, occ, cur_pose, max_iters=None):
             cur_pose[1] + d * jnp.sin(cur_pose[2]),
         ]
     )
-    s = occ.shape[0]
-    ij = jnp.clip(tf_ekf_to_map(cfg, pt), 0, s - 1)
-    free = occ > 0.5
+    full = occ.shape[0]
+    ij = jnp.clip(tf_ekf_to_map(cfg, pt), 0, full - 1)
+    win = cfg.path_planning.astar_window
+    if win and win < full:
+        # same static crop as astar(): the BFS spill from the ideal cell is
+        # a few cells (barrel-sized obstacles), so a window centered on it
+        # bounds the search radius at win//2 — the bounded-iteration
+        # semantics this function already has, on 5-6x fewer cells.
+        off = _window_offset(ij, win, full)
+        occ_l, ij_l, s = jax.lax.dynamic_slice(
+            occ, (off[0], off[1]), (win, win)), ij - off, win
+    else:
+        off = jnp.zeros((2,), ij.dtype)
+        occ_l, ij_l, s = occ, ij, full
+    free = occ_l > 0.5
 
-    ideal_free = free[ij[0], ij[1]]
+    ideal_free = free[ij_l[0], ij_l[1]]
 
     # BFS distance from the ideal cell *through blocked cells only*; free
     # cells terminate the search (astar.py:38-54).
-    dist0 = jnp.full((s, s), _INF).at[ij[0], ij[1]].set(0.0)
+    dist0 = jnp.full((s, s), _INF).at[ij_l[0], ij_l[1]].set(0.0)
 
     def body(state):
         dist, _, k = state
@@ -199,7 +239,7 @@ def local_planner(cfg: Config, occ, cur_pose, max_iters=None):
     # row-major tie-break via argmin.
     masked = jnp.where(free, dist, _INF)
     flat = jnp.argmin(masked)
-    best_ij = jnp.stack([flat // s, flat % s]).astype(jnp.int32)
+    best_ij = jnp.stack([flat // s, flat % s]).astype(jnp.int32) + off
     found = masked.reshape(-1)[flat] < _INF
     out_ij = jnp.where(ideal_free, ij, best_ij)
     goal = tf_map_to_ekf(cfg, out_ij)

@@ -47,6 +47,9 @@ def test_igvc_closed_loop_scale():
     well over a meter from the start."""
     batch, t_total = 64, 200
     cfg = preset("igvc1", num_iterations=t_total)
+    # astar_window=64 is the on-chip benchmark configuration: the 1.8 m
+    # local plans run in a cropped 64-cell window instead of the full
+    # 150^2 grid (planning/astar.py)
     cfg = cfg.replace(
         num_landmark_slots=37,
         num_meas_slots=12,
@@ -55,6 +58,7 @@ def test_igvc_closed_loop_scale():
             astar_max_iters=96,
             local_astar_max_iters=48,
             path_capacity=128,
+            astar_window=64,
         ),
     )
     period = cfg.path_planning.replan_period

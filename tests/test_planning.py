@@ -188,6 +188,73 @@ def test_native_planner_matches_python_oracle():
             assert len(native_cells) == len(py_cells)
 
 
+def test_astar_window_matches_full_grid():
+    """astar_window > 0 crops a static window around the start: for local
+    plans whose shortest path stays inside the window (the igvc loop's
+    ~18-cell plans), path cost, reached, and the local-planner goal must be
+    IDENTICAL to the full-grid relaxation — including starts near the grid
+    edge, where the window offset clamps."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg_w = cfg.replace(
+        path_planning=dataclasses.replace(cfg.path_planning, astar_window=16)
+    )
+    occ = _maze(seed=5)
+    occ_j = jnp.asarray(occ)
+    plan = jax.jit(
+        lambda occ, s, g: d_astar.astar(cfg, occ, s, g, max_iters=64)
+    )
+    plan_w = jax.jit(
+        lambda occ, s, g: d_astar.astar(cfg_w, occ, s, g, max_iters=64)
+    )
+    from live_ekf_slam_tpu.planning.host import tf_map_to_ekf
+
+    rng = np.random.default_rng(6)
+    checked = edge_checked = 0
+    while checked < 6 or edge_checked == 0:
+        # goals a few cells out, like the 1.8 m local plans; include
+        # starts near the corner so the offset-clamp path is exercised
+        near_edge = checked % 3 == 2
+        s_ij = (tuple(rng.integers(0, 4, 2)) if near_edge
+                else tuple(rng.integers(6, 34, 2)))
+        g_ij = tuple(
+            int(np.clip(s_ij[k] + rng.integers(-4, 5), 0, 39))
+            for k in range(2)
+        )
+        if occ[s_ij] == 0 or occ[g_ij] == 0 or s_ij == g_ij:
+            continue
+        s_xy = jnp.asarray(tf_map_to_ekf(cfg, s_ij), jnp.float32)
+        g_xy = jnp.asarray(tf_map_to_ekf(cfg, g_ij), jnp.float32)
+        path_f, valid_f, reached_f = plan(occ_j, s_xy, g_xy)
+        path_w, valid_w, reached_w = plan_w(occ_j, s_xy, g_xy)
+        assert bool(reached_w) == bool(reached_f)
+        assert int(np.sum(np.asarray(valid_w))) == int(
+            np.sum(np.asarray(valid_f)))
+        checked += 1
+        edge_checked += near_edge
+
+    # a goal OUTSIDE the window must report reached=False, not a bogus path
+    s_xy = jnp.asarray(tf_map_to_ekf(cfg, (20, 20)), jnp.float32)
+    g_xy = jnp.asarray(tf_map_to_ekf(cfg, (20, 38)), jnp.float32)
+    _, valid_w, reached_w = plan_w(occ_j, s_xy, g_xy)
+    assert not bool(reached_w) and not bool(np.any(np.asarray(valid_w)))
+
+    # local planner: identical goal cell (the window preserves the BFS
+    # tie-break order for in-window candidates)
+    lp = jax.jit(lambda occ, p: d_astar.local_planner(cfg, occ, p))
+    lp_w = jax.jit(lambda occ, p: d_astar.local_planner(cfg_w, occ, p))
+    for _ in range(6):
+        pose = np.array(
+            [rng.uniform(-7, 7), rng.uniform(-7, 7), rng.uniform(-3, 3)],
+            np.float32,
+        )
+        goal_f, ok_f = lp(occ_j, jnp.asarray(pose))
+        goal_w, ok_w = lp_w(occ_j, jnp.asarray(pose))
+        assert bool(ok_w) == bool(ok_f)
+        np.testing.assert_allclose(np.asarray(goal_w), np.asarray(goal_f))
+
+
 def test_rrt_finds_collision_free_path():
     """RRT (planning/rrt.py, superseding the reference's broken stub
     rrt.py:21-50): a seeded tree grows to the goal and every waypoint is
